@@ -1,0 +1,133 @@
+"""Host-side acceleration build: triangle classes + Morton clusters.
+
+Replaces the reference's BLAS/TLAS build (DeviceASBuilder,
+quake_node.cpp:985-1012). Instead of a pointer tree we produce:
+
+- per-triangle acceptance class for the any-hit loop (see
+  ``raytrace.glsl:95-119``): padding/never-accept triangles are removed
+  from candidacy entirely; triangles whose texture has transparent
+  texels are flagged ``needs_alpha`` so only those trigger re-tracing;
+- a Morton-order permutation of triangles and per-cluster AABBs for
+  tile-granularity culling in the Pallas intersector.
+
+Rebuild cost is O(T log T) numpy per worldspawn; per-frame dynamic
+geometry reuses the static order and only refits AABBs (device-side).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import materials
+from ..models.types import CLUSTER_SIZE, Scene, TextureAtlas
+
+
+class AccelScene(NamedTuple):
+    """Scene + intersection metadata (all leading-dim T, Morton order)."""
+
+    scene: Scene
+    candidate: jnp.ndarray  # bool[T] participates in intersection
+    needs_alpha: jnp.ndarray  # bool[T] committed hit requires texture alpha
+    cluster_lo: jnp.ndarray  # f32[C, 3] cluster AABB min
+    cluster_hi: jnp.ndarray  # f32[C, 3] cluster AABB max
+
+    @property
+    def num_clusters(self) -> int:
+        return self.cluster_lo.shape[0]
+
+
+def texture_alpha_flags(atlas: TextureAtlas) -> np.ndarray:
+    """bool[MAX_TEX]: texture contains texels below ALPHA_THRESHOLD."""
+    data = np.asarray(atlas.data, np.float32)
+    table = np.asarray(atlas.table)
+    out = np.zeros((table.shape[0],), bool)
+    for i, (x, y, w, h) in enumerate(table):
+        if w == 0:
+            continue
+        region = data[y : y + h, x : x + w, 3]
+        out[i] = bool((region < materials.ALPHA_THRESHOLD).any())
+    return out
+
+
+def _morton3(x: np.ndarray, y: np.ndarray, z: np.ndarray) -> np.ndarray:
+    """Interleave 10 bits per axis → 30-bit Morton code."""
+
+    def _spread(v):
+        v = v.astype(np.uint64) & 0x3FF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return _spread(x) | (_spread(y) << 1) | (_spread(z) << 2)
+
+
+def _reorder_scene(scene: Scene, perm: np.ndarray) -> Scene:
+    return Scene(*[jnp.asarray(np.asarray(a)[perm]) for a in scene])
+
+
+def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
+    v0 = np.asarray(scene.v0)
+    v1 = np.asarray(scene.v1)
+    v2 = np.asarray(scene.v2)
+    valid = np.asarray(scene.valid)
+    flags = np.asarray(scene.flags)
+    alpha = np.asarray(scene.alpha)
+    texnum = np.asarray(scene.texnum)
+
+    # --- acceptance classes (raytrace.glsl:95-119 semantics) ---
+    # flags 1..6 (lava..waterfall incl. sky): always accepted.
+    flag_opaque = (flags > 0) & (flags < 7)
+    has_override = alpha >= 0.0
+    override_accept = has_override & (alpha >= materials.ALPHA_THRESHOLD)
+    override_reject = has_override & (alpha < materials.ALPHA_THRESHOLD)
+    if atlas is not None:
+        tex_has_alpha = texture_alpha_flags(atlas)[np.clip(texnum, 0, None)]
+    else:
+        tex_has_alpha = np.zeros_like(valid)
+    needs_alpha = valid & ~flag_opaque & ~has_override & tex_has_alpha
+    candidate = valid & ~override_reject & (
+        flag_opaque | override_accept | ~has_override
+    )
+
+    # --- Morton order over candidate centroids ---
+    cent = (v0 + v1 + v2) / 3.0
+    lo = cent.min(axis=0)
+    hi = cent.max(axis=0)
+    ext = np.maximum(hi - lo, 1e-6)
+    q = np.clip(((cent - lo) / ext * 1023.0), 0, 1023).astype(np.uint64)
+    codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
+    # order: real candidates first (by Morton), then alpha-only, then padding
+    rank = np.where(candidate, 0, np.where(valid, 1, 2)).astype(np.uint64)
+    perm = np.lexsort((codes, rank))
+    scene = _reorder_scene(scene, perm)
+    candidate = candidate[perm]
+    needs_alpha = needs_alpha[perm]
+
+    # --- cluster AABBs over the Morton-ordered soup ---
+    v0 = np.asarray(scene.v0)
+    v1 = np.asarray(scene.v1)
+    v2 = np.asarray(scene.v2)
+    T = v0.shape[0]
+    C = T // CLUSTER_SIZE
+    pts = np.stack([v0, v1, v2], axis=1).reshape(C, CLUSTER_SIZE * 3, 3)
+    cmask = candidate.reshape(C, CLUSTER_SIZE).repeat(3, axis=1).reshape(
+        C, CLUSTER_SIZE * 3
+    )
+    big = np.float32(1e30)
+    lo_c = np.where(cmask[..., None], pts, big).min(axis=1)
+    hi_c = np.where(cmask[..., None], pts, -big).max(axis=1)
+    empty = ~cmask.any(axis=1)
+    lo_c[empty] = big
+    hi_c[empty] = -big
+
+    return AccelScene(
+        scene=scene,
+        candidate=jnp.asarray(candidate),
+        needs_alpha=jnp.asarray(needs_alpha),
+        cluster_lo=jnp.asarray(lo_c.astype(np.float32)),
+        cluster_hi=jnp.asarray(hi_c.astype(np.float32)),
+    )

@@ -1,0 +1,151 @@
+"""Texture atlas: host-side packing + device-side sampling.
+
+TPU-native replacement of the reference's 4096-slot descriptor array of
+sampled images (``img_tex[MAX_GLTEXTURES]``, gbuffer.comp:34): one big
+2D atlas plus a rect table, sampled with vectorized gathers. sRGB decode
+and the reference's pow(1/1.2) albedo transform (raytrace.glsl:289) are
+folded in at pack time so the device sees linear radiometric values.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import color as color_ops
+from .types import TextureAtlas
+from . import materials
+
+
+def pack_textures(
+    textures: list[np.ndarray],
+    srgb: list[bool] | None = None,
+    max_textures: int = materials.MAX_GLTEXTURES,
+    dtype=jnp.float32,
+) -> TextureAtlas:
+    """Shelf-pack RGBA uint8 (or float) textures into one atlas.
+
+    ``textures[i]`` becomes texture id i (id 0 should be a 1×1 white
+    dummy — the reference treats texnum 0 as 'none' in several places).
+    Returns a TextureAtlas with linear float data.
+    """
+    if len(textures) == 0:
+        textures = [np.full((1, 1, 4), 255, np.uint8)]
+    if len(textures) > max_textures:
+        raise ValueError(f"{len(textures)} textures > {max_textures}")
+    if srgb is None:
+        srgb = [True] * len(textures)
+
+    norm = []
+    for t, is_srgb in zip(textures, srgb):
+        t = np.asarray(t)
+        if t.ndim == 2:
+            t = t[..., None].repeat(4, axis=-1)
+        if t.shape[-1] == 3:
+            t = np.concatenate([t, np.full(t.shape[:-1] + (1,), 255, t.dtype)], -1)
+        if t.dtype == np.uint8:
+            t = t.astype(np.float32) / 255.0
+        t = t.astype(np.float32)
+        if is_srgb:
+            rgb = np.asarray(color_ops.srgb_to_linear(jnp.asarray(t[..., :3])))
+            # reference samples textures then applies pow(1/1.2)
+            rgb = np.power(np.clip(rgb, 0.0, 1.0), 1.0 / 1.2)
+            t = np.concatenate([rgb, t[..., 3:4]], -1)
+        norm.append(t)
+
+    # Shelf packing, tallest first (stable order preserved via index sort).
+    order = sorted(range(len(norm)), key=lambda i: -norm[i].shape[0])
+    atlas_w = 1
+    total_area = sum(t.shape[0] * t.shape[1] for t in norm)
+    while atlas_w * atlas_w < total_area * 1.3:
+        atlas_w *= 2
+    atlas_w = max(atlas_w, max(t.shape[1] for t in norm))
+    # round atlas_w up to pow2
+    w = 1
+    while w < atlas_w:
+        w *= 2
+    atlas_w = w
+
+    table = np.zeros((max_textures, 4), np.int32)
+    placements = {}
+    x = y = shelf_h = 0
+    for i in order:
+        t = norm[i]
+        th, tw = t.shape[:2]
+        if x + tw > atlas_w:
+            y += shelf_h
+            x = 0
+            shelf_h = 0
+        placements[i] = (x, y)
+        table[i] = (x, y, tw, th)
+        shelf_h = max(shelf_h, th)
+        x += tw
+    atlas_h = y + shelf_h
+    # pad to multiple of 8 rows (TPU sublane alignment)
+    atlas_h = -(-atlas_h // 8) * 8
+
+    data = np.zeros((atlas_h, atlas_w, 4), np.float32)
+    for i, t in enumerate(norm):
+        px, py = placements[i]
+        data[py : py + t.shape[0], px : px + t.shape[1]] = t
+
+    return TextureAtlas(
+        data=jnp.asarray(data, dtype), table=jnp.asarray(table)
+    )
+
+
+def _gather_texels(atlas: TextureAtlas, tx, ty):
+    flat = atlas.data.reshape(-1, 4)
+    idx = ty * atlas.width + tx
+    return jnp.take(flat, idx, axis=0).astype(jnp.float32)
+
+
+def sample_nearest(atlas: TextureAtlas, texnum, uv):
+    """Point-sample with GL_REPEAT wrap. texnum i32[...], uv f32[..., 2]."""
+    rect = jnp.take(atlas.table, jnp.clip(texnum, 0, atlas.table.shape[0] - 1), axis=0)
+    x, y, w, h = rect[..., 0], rect[..., 1], rect[..., 2], rect[..., 3]
+    w = jnp.maximum(w, 1)
+    h = jnp.maximum(h, 1)
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    tx = x + jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    ty = y + jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    return _gather_texels(atlas, tx, ty)
+
+
+def sample_bilinear(atlas: TextureAtlas, texnum, uv):
+    """Bilinear sample with GL_REPEAT wrap within the texture's rect."""
+    rect = jnp.take(atlas.table, jnp.clip(texnum, 0, atlas.table.shape[0] - 1), axis=0)
+    x, y, w, h = rect[..., 0], rect[..., 1], rect[..., 2], rect[..., 3]
+    w = jnp.maximum(w, 1)
+    h = jnp.maximum(h, 1)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    fx = u * wf - 0.5
+    fy = v * hf - 0.5
+    x0 = jnp.floor(fx)
+    y0 = jnp.floor(fy)
+    ax = (fx - x0)[..., None]
+    ay = (fy - y0)[..., None]
+
+    def _wrap(c, n):
+        return jnp.mod(c.astype(jnp.int32), n)
+
+    x0i = _wrap(x0, w)
+    x1i = _wrap(x0 + 1, w)
+    y0i = _wrap(y0, h)
+    y1i = _wrap(y0 + 1, h)
+    c00 = _gather_texels(atlas, x + x0i, y + y0i)
+    c10 = _gather_texels(atlas, x + x1i, y + y0i)
+    c01 = _gather_texels(atlas, x + x0i, y + y1i)
+    c11 = _gather_texels(atlas, x + x1i, y + y1i)
+    top = c00 * (1 - ax) + c10 * ax
+    bot = c01 * (1 - ax) + c11 * ax
+    return top * (1 - ay) + bot * ay
+
+
+def sample(atlas: TextureAtlas, texnum, uv, bilinear: bool = True):
+    if bilinear:
+        return sample_bilinear(atlas, texnum, uv)
+    return sample_nearest(atlas, texnum, uv)

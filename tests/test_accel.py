@@ -1,0 +1,144 @@
+import jax.numpy as jnp
+import numpy as np
+
+from merian_quake_tpu.accel import build_accel, intersect, trace_nearest
+from merian_quake_tpu.accel.intersect import trace_visibility
+from merian_quake_tpu.models import materials, procedural
+from merian_quake_tpu.models.types import build_scene_from_soup
+
+
+def _single_tri_accel(v0, v1, v2):
+    scene = build_scene_from_soup(
+        np.asarray([v0], np.float32),
+        np.asarray([v1], np.float32),
+        np.asarray([v2], np.float32),
+    )
+    return build_accel(scene)
+
+
+def test_front_hit_and_backface_cull():
+    # Triangle in the x=10 plane. Reference normal n = cross(v2-v0, v1-v0).
+    v0, v1, v2 = [10, -1, -1], [10, 1, -1], [10, 0, 1]
+    acc = _single_tri_accel(v0, v1, v2)
+    n = np.cross(np.subtract(v2, v0), np.subtract(v1, v0))
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    hr = intersect(acc, o, d, 0.0, 100.0)
+    if n[0] < 0:  # normal faces the ray origin → front hit
+        assert int(hr.tri[0]) == 0
+        np.testing.assert_allclose(float(hr.t[0]), 10.0, atol=1e-4)
+    else:
+        assert int(hr.tri[0]) == -1
+    # From the other side: opposite behavior.
+    hr2 = intersect(acc, jnp.asarray([[20.0, 0.0, 0.0]]), -d, 0.0, 100.0)
+    assert (int(hr2.tri[0]) == -1) != (int(hr.tri[0]) == -1)
+
+
+def test_barycentrics_match_position():
+    v0, v1, v2 = [5, 0, 0], [5, 4, 0], [5, 0, 4]
+    acc = _single_tri_accel(v0, v1, v2)
+    # aim at point v0 + 0.25*(v1-v0) + 0.5*(v2-v0) = (5, 1, 2)
+    o = jnp.asarray([[0.0, 1.0, 2.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    hr = intersect(acc, o, d, 0.0, 100.0)
+    hit = int(hr.tri[0]) == 0
+    if not hit:  # winding may cull; flip
+        acc = _single_tri_accel(v0, v2, v1)
+        hr = intersect(acc, o, d, 0.0, 100.0)
+        assert int(hr.tri[0]) == 0
+        np.testing.assert_allclose(float(hr.u[0]), 0.5, atol=1e-5)
+        np.testing.assert_allclose(float(hr.v[0]), 0.25, atol=1e-5)
+    else:
+        np.testing.assert_allclose(float(hr.u[0]), 0.25, atol=1e-5)
+        np.testing.assert_allclose(float(hr.v[0]), 0.5, atol=1e-5)
+
+
+def test_nearest_of_many():
+    # winding chosen so normals face -x (toward the ray origin)
+    scene = build_scene_from_soup(
+        np.asarray([[10, -1, -1], [4, -1, -1]], np.float32),
+        np.asarray([[10, 1, -1], [4, 1, -1]], np.float32),
+        np.asarray([[10, 0, 1], [4, 0, 1]], np.float32),
+    )
+    acc = build_accel(scene)
+    o = jnp.asarray([[0.0, 0.0, 0.0]])
+    d = jnp.asarray([[1.0, 0.0, 0.0]])
+    hr = intersect(acc, o, d, 0.0, 100.0)
+    np.testing.assert_allclose(float(hr.t[0]), 4.0, atol=1e-4)
+
+
+def test_box_scene_center_rays_hit_walls():
+    bundle = procedural.cornell_box()
+    acc = build_accel(bundle.scene, bundle.atlas)
+    cam = np.asarray(bundle.uniforms.cam_x)
+    o = jnp.asarray([cam, cam, cam, cam], jnp.float32)
+    d = jnp.asarray(
+        [[1, 0, 0], [0, 0, 1], [0, 0, -1], [0, 1, 0]], jnp.float32
+    )
+    hr = trace_nearest(acc, bundle.atlas, o, d, 0.0, materials.T_MAX)
+    assert bool(hr.hit.all())
+    t = np.asarray(hr.t)
+    np.testing.assert_allclose(t[0], 512.0 - cam[0], atol=0.01)  # far wall
+    np.testing.assert_allclose(t[1], 256.0 - cam[2], atol=0.01)  # ceiling
+    np.testing.assert_allclose(t[2], cam[2], atol=0.01)  # floor
+    np.testing.assert_allclose(t[3], 512.0 - cam[1], atol=0.01)  # left wall
+
+
+def test_alpha_grate_passthrough():
+    bundle = procedural.outdoor_court()
+    acc = build_accel(bundle.scene, bundle.atlas)
+    # Ray through a grate hole: holes are where bars are absent.
+    # Bars at (x%8)<3 in texture space; pick UV region in a hole and
+    # verify the ray continues to the far wall instead of stopping.
+    o = jnp.asarray([[600.0, 150.0, 80.0]], jnp.float32)
+    d = jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32)
+    hr = trace_nearest(acc, bundle.atlas, o, d, 0.0, materials.T_MAX)
+    assert bool(hr.hit[0])
+    t = float(hr.t[0])
+    # must either stop at one of the grates (~40 or ~240 away: bar) or
+    # reach the far wall (1024-600-1): never in between
+    assert t > 39.0
+    flags = int(np.asarray(acc.scene.flags)[int(hr.tri[0])])
+    assert flags in (materials.MAT_FLAGS_NONE,)
+    # Shooting many parallel rays: some pass through both grates to the
+    # far wall (hole), some stop at the first grate (bar).
+    ys = np.linspace(110, 290, 64)
+    o = jnp.asarray([[600.0, y, 80.0] for y in ys], jnp.float32)
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (64, 3))
+    hr = trace_nearest(acc, bundle.atlas, o, d, 0.0, materials.T_MAX)
+    t = np.asarray(hr.t)
+    assert (np.abs(t - 40.0) < 1.5).any(), "some rays should hit the near grate"
+    assert (t > 400).any(), "some rays should pass through grate holes"
+
+
+def test_visibility_through_box():
+    bundle = procedural.cornell_box()
+    acc = build_accel(bundle.scene, bundle.atlas)
+    a = jnp.asarray([[60.0, 256.0, 130.0]], jnp.float32)
+    b = jnp.asarray([[200.0, 256.0, 130.0]], jnp.float32)  # open air
+    c = jnp.asarray([[345.0, 335.0, 60.0]], jnp.float32)  # inside tall block
+    assert bool(trace_visibility(acc, bundle.atlas, a, b)[0])
+    assert not bool(trace_visibility(acc, bundle.atlas, a, c)[0])
+
+
+def test_cluster_aabbs_cover_candidates():
+    bundle = procedural.cornell_box()
+    acc = build_accel(bundle.scene, bundle.atlas)
+    cand = np.asarray(acc.candidate)
+    v = np.stack(
+        [np.asarray(acc.scene.v0), np.asarray(acc.scene.v1), np.asarray(acc.scene.v2)],
+        axis=1,
+    )
+    C = acc.num_clusters
+    from merian_quake_tpu.models.types import CLUSTER_SIZE
+
+    v = v.reshape(C, CLUSTER_SIZE * 3, 3)
+    m = cand.reshape(C, CLUSTER_SIZE).repeat(3, 1).reshape(C, CLUSTER_SIZE * 3)
+    lo = np.asarray(acc.cluster_lo)
+    hi = np.asarray(acc.cluster_hi)
+    for ci in range(C):
+        pts = v[ci][m[ci]]
+        if len(pts) == 0:
+            continue
+        assert (pts >= lo[ci] - 1e-3).all()
+        assert (pts <= hi[ci] + 1e-3).all()
