@@ -1,0 +1,67 @@
+"""Command-line entry point.
+
+Headless equivalent of the reference's app shell
+(src/merian-quake.cpp --headless): render a scene to PNG/PFM.
+
+    python -m merian_quake_tpu.cli render --scene box --size 640x360 \
+        --spp 1 --frames 8 --out /tmp/out.png
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _cmd_render(args) -> int:
+    import numpy as np
+
+    from .models.procedural import get_scene
+    from .models.types import RenderConfig
+    from .renderer import render_sequence
+    from .utils.image import save_pfm, save_png
+
+    w, h = (int(v) for v in args.size.split("x"))
+    config = RenderConfig(
+        width=w,
+        height=h,
+        spp=args.spp,
+        max_path_length=args.max_path_length,
+        seed=args.seed,
+    )
+    bundle = get_scene(args.scene)
+    t0 = time.time()
+    state, outputs = render_sequence(bundle, config, frames=args.frames)
+    ldr = np.asarray(outputs["ldr"])
+    dt = time.time() - t0
+    print(
+        f"rendered {args.frames} frames {w}x{h} spp={args.spp} "
+        f"in {dt:.2f}s ({dt / max(args.frames, 1) * 1000:.1f} ms/frame avg, "
+        f"incl. compile)"
+    )
+    if args.out.endswith(".pfm"):
+        save_pfm(args.out, np.asarray(outputs["hdr"]))
+    else:
+        save_png(args.out, ldr)
+    print(f"wrote {args.out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="merian-quake-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("render", help="render a scene to an image")
+    pr.add_argument("--scene", default="box", help="box | court")
+    pr.add_argument("--size", default="640x360")
+    pr.add_argument("--spp", type=int, default=1)
+    pr.add_argument("--frames", type=int, default=1)
+    pr.add_argument("--max-path-length", type=int, default=3)
+    pr.add_argument("--seed", type=int, default=1337)
+    pr.add_argument("--out", default="/tmp/mq_tpu_render.png")
+    pr.set_defaults(fn=_cmd_render)
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

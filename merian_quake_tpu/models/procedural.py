@@ -238,7 +238,36 @@ def outdoor_court(fog_mu_t=0.0) -> SceneBundle:
     return SceneBundle(scene, atlas, uniforms)
 
 
-SCENES = {"box": cornell_box, "court": outdoor_court}
+def furnace(albedo=0.5, emission=1.0) -> SceneBundle:
+    """Closed cube, every face uniformly emissive with constant albedo.
+
+    Energy-conservation test scene: with the reference integrator's
+    break-on-emission rule every path has exactly one bounce, so pixel
+    irradiance must equal emission × ∫ bsdf·cos dω (≈ 1 without albedo)
+    — an analytic check on BSDF energy + integrator weighting.
+    """
+    b = _SoupBuilder()
+    S = 256.0
+    kw = dict(
+        flags=materials.MAT_FLAGS_SOLID,
+        solid_albedo=(albedo,) * 3,
+        solid_emission=(emission,) * 3,
+    )
+    b.quad((0, 0, 0), (S, 0, 0), (0, S, 0), **kw)  # floor +z
+    b.quad((0, 0, S), (0, S, 0), (S, 0, 0), **kw)  # ceiling -z
+    b.quad((S, 0, 0), (0, 0, S), (0, S, 0), **kw)  # far -x
+    b.quad((0, 0, 0), (0, S, 0), (0, 0, S), **kw)  # near +x
+    b.quad((0, S, 0), (S, 0, 0), (0, 0, S), **kw)  # left -y
+    b.quad((0, 0, 0), (0, 0, S), (S, 0, 0), **kw)  # right +y
+    scene = b.build()
+    atlas = pack_textures([_const_tex((255, 255, 255), 1)])
+    uniforms = default_uniforms(
+        cam_x=(40.0, 128.0, 128.0), cam_w=(1.0, 0.0, 0.0), fov_deg=90.0
+    )
+    return SceneBundle(scene, atlas, uniforms)
+
+
+SCENES = {"box": cornell_box, "court": outdoor_court, "furnace": furnace}
 
 
 def get_scene(name: str, **kw) -> SceneBundle:
