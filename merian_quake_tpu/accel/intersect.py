@@ -47,8 +47,35 @@ def intersect(
     t_min,
     t_max,
     chunk: int = 128,
+    ray_block: int = 1 << 16,
 ) -> HitRecord:
-    """Nearest front-facing candidate hit. o, d: f32[N, 3]."""
+    """Nearest front-facing candidate hit. o, d: f32[N, 3].
+
+    Large ray batches are processed in sequential blocks of
+    ``ray_block`` rays (lax.map) to bound the (rays × chunk)
+    intermediate working set.
+    """
+    n_rays = o.shape[0]
+    if n_rays > ray_block:
+        t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
+        t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n_rays,))
+        pad = (-n_rays) % ray_block
+        if pad:
+            o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+            t_min = jnp.concatenate([t_min, jnp.zeros((pad,))])
+            t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0)])
+        nb = o.shape[0] // ray_block
+        blocks = lambda x, s: x.reshape((nb, ray_block) + s)
+        out = jax.lax.map(
+            lambda xs: intersect(
+                accel, xs[0], xs[1], xs[2], xs[3], chunk=chunk,
+                ray_block=ray_block,
+            ),
+            (blocks(o, (3,)), blocks(d, (3,)), blocks(t_min, ()), blocks(t_max, ())),
+        )
+        flat = HitRecord(*[x.reshape(-1)[:n_rays] for x in out])
+        return flat
     scene = accel.scene
     T = scene.num_tris
     n_chunks = T // chunk

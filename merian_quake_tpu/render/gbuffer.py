@@ -37,15 +37,21 @@ def render_gbuffer(
     atlas: TextureAtlas,
     uniforms: Uniforms,
     config: RenderConfig,
+    y0=0,
+    rows: int | None = None,
 ) -> GBufferOutput:
+    """``y0``/``rows``: render only image rows [y0, y0+rows) — the unit
+    of pixel-grid sharding across devices (full camera frame retained:
+    W/H in config define the projection; y0 may be traced)."""
     W, H = config.width, config.height
+    rows = H if rows is None else rows
     px, py = jnp.meshgrid(
         jnp.arange(W, dtype=jnp.float32),
-        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(rows, dtype=jnp.float32),
         indexing="xy",
     )
     pxf = px.reshape(-1)
-    pyf = py.reshape(-1)
+    pyf = py.reshape(-1) + jnp.asarray(y0, jnp.float32)
     wi = cam_ops.ray_dir(
         pxf, pyf, W, H, uniforms.cam_u, uniforms.cam_w, uniforms.fov_tan_half
     )
@@ -58,13 +64,13 @@ def render_gbuffer(
     # irradiance = emission at first hit (gbuffer.comp:104)
     irradiance = jnp.concatenate(
         [res.contribution, jnp.ones((n, 1))], axis=-1
-    ).reshape(H, W, 4)
+    ).reshape(rows, W, 4)
 
     # albedo zeroed where emissive, × camera throughput (gbuffer.comp:107)
     emissive = (res.contribution >= 1e-5).any(axis=-1)
     albedo = hit.albedo * jnp.where(emissive[..., None], 0.0, 1.0) * res.throughput
     albedo_img = jnp.concatenate([albedo, jnp.ones((n, 1))], axis=-1).reshape(
-        H, W, 4
+        rows, W, 4
     )
 
     # motion vector: reproject prev_pos into the previous camera
@@ -72,7 +78,7 @@ def render_gbuffer(
     old_px, old_py, old_dz = cam_ops.project(
         old_dir, W, H, uniforms.prev_cam_u, uniforms.prev_cam_w, uniforms.fov_tan_half
     )
-    mv = jnp.stack([old_px - pxf, old_py - pyf], axis=-1).reshape(H, W, 2)
+    mv = jnp.stack([old_px - pxf, old_py - pyf], axis=-1).reshape(rows, W, 2)
 
     # gbuffer extras: linear z + gradients from offset-pixel ray dirs
     linear_z = linalg.distance(hit.pos, uniforms.cam_x)
@@ -97,8 +103,8 @@ def render_gbuffer(
         albedo=albedo_img,
         mv=mv,
         hits=compress_hit(hit),
-        normal=hit.normal.reshape(H, W, 3),
-        linear_z=linear_z.reshape(H, W),
-        z_grad=jnp.stack([zg_x, zg_y], axis=-1).reshape(H, W, 2),
-        z_vel=z_vel.reshape(H, W),
+        normal=hit.normal.reshape(rows, W, 3),
+        linear_z=linear_z.reshape(rows, W),
+        z_grad=jnp.stack([zg_x, zg_y], axis=-1).reshape(rows, W, 2),
+        z_vel=z_vel.reshape(rows, W),
     )

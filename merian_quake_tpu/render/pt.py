@@ -42,13 +42,24 @@ def render_pt(
     uniforms: Uniforms,
     config: RenderConfig,
     gbuf: GBufferOutput,
+    y0=0,
+    rows: int | None = None,
 ) -> jnp.ndarray:
-    """Returns irradiance image f32[H, W, 4] (rgb irr, a second moment)."""
+    """Returns irradiance image f32[rows, W, 4] (rgb irr, a second moment).
+
+    ``y0``/``rows`` select the image-row slab (pixel-grid sharding unit);
+    RNG streams are seeded with absolute pixel coordinates so sharded
+    and single-device renders are bit-identical.
+    """
     W, H = config.width, config.height
-    n = W * H
-    px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
+    rows = H if rows is None else rows
+    n = W * rows
+    px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(rows), indexing="xy")
     state0 = rng_ops.seed_pixel(
-        px.reshape(-1), py.reshape(-1), uniforms.frame, config.seed
+        px.reshape(-1),
+        py.reshape(-1) + jnp.asarray(y0, jnp.int32),
+        uniforms.frame,
+        config.seed,
     )
 
     first_hit = decompress_hit(gbuf.hits)
@@ -115,4 +126,4 @@ def render_pt(
     if config.spp > 0:
         irr = irr / config.spp
         m2 = m2 / config.spp
-    return jnp.concatenate([irr, m2[..., None]], axis=-1).reshape(H, W, 4)
+    return jnp.concatenate([irr, m2[..., None]], axis=-1).reshape(rows, W, 4)
