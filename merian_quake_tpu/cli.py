@@ -28,6 +28,8 @@ def _cmd_render(args) -> int:
         spp=args.spp,
         max_path_length=args.max_path_length,
         seed=args.seed,
+        integrator=args.integrator,
+        denoise=args.denoise,
     )
     bundle = get_scene(args.scene)
     t0 = time.time()
@@ -56,6 +58,8 @@ def main(argv=None) -> int:
     pr.add_argument("--spp", type=int, default=1)
     pr.add_argument("--frames", type=int, default=1)
     pr.add_argument("--max-path-length", type=int, default=3)
+    pr.add_argument("--integrator", default="pt", choices=["pt", "mcpg"])
+    pr.add_argument("--denoise", action="store_true", help="SVGF+TAA+FXAA")
     pr.add_argument("--seed", type=int, default=1337)
     pr.add_argument("--out", default="/tmp/mq_tpu_render.png")
     pr.set_defaults(fn=_cmd_render)

@@ -238,6 +238,63 @@ def outdoor_court(fog_mu_t=0.0) -> SceneBundle:
     return SceneBundle(scene, atlas, uniforms)
 
 
+def alcove(emission=200.0) -> SceneBundle:
+    """Hard guiding scene: the only light sits in a side pocket behind a
+    narrow slot — BSDF sampling rarely finds it, path guiding should.
+
+    Main room x∈[0,512]; pocket x∈[512,640] behind the x=512 wall with a
+    slot opening y∈[224,288], z∈[64,192].
+    """
+    textures = [
+        _const_tex((255, 255, 255), 1),  # 0 dummy
+        _const_tex((190, 190, 190)),  # 1 walls
+        _checker_tex((180, 180, 180), (90, 90, 90)),  # 2 floor
+    ]
+    b = _SoupBuilder()
+    X, Y, Z = 512.0, 512.0, 256.0
+    PX = 640.0  # pocket far x
+    sy0, sy1, sz0, sz1 = 224.0, 288.0, 64.0, 192.0
+    uv = (4.0, 4.0)
+    b.quad((0, 0, 0), (X, 0, 0), (0, Y, 0), uv_scale=uv, texnum=2)  # floor
+    b.quad((0, 0, Z), (0, Y, 0), (X, 0, 0), uv_scale=uv, texnum=1)  # ceiling
+    b.quad((0, 0, 0), (0, Y, 0), (0, 0, Z), uv_scale=uv, texnum=1)  # near +x
+    b.quad((0, Y, 0), (X, 0, 0), (0, 0, Z), uv_scale=uv, texnum=1)  # left -y
+    b.quad((0, 0, 0), (0, 0, Z), (X, 0, 0), uv_scale=uv, texnum=1)  # right +y
+    # x=512 wall facing -x with slot hole (4 quads around the slot)
+    def wallx(y0, y1, z0, z1):
+        if y1 > y0 and z1 > z0:
+            b.quad((X, y0, z0), (0, 0, z1 - z0), (0, y1 - y0, 0), texnum=1)
+    wallx(0.0, sy0, 0.0, Z)
+    wallx(sy1, Y, 0.0, Z)
+    wallx(sy0, sy1, 0.0, sz0)
+    wallx(sy0, sy1, sz1, Z)
+    # pocket interior (faces point into the pocket)
+    b.quad((X, sy0, sz0), (0, sy1 - sy0, 0), (PX - X, 0, 0), texnum=1)  # floor
+    b.quad((X, sy0, sz1), (PX - X, 0, 0), (0, sy1 - sy0, 0), texnum=1)  # ceiling
+    b.quad((PX, sy0, sz0), (0, 0, sz1 - sz0), (0, sy1 - sy0, 0), texnum=1)  # back
+    b.quad((X, sy0, sz0), (PX - X, 0, 0), (0, 0, sz1 - sz0), texnum=1)  # side -y
+    b.quad((X, sy1, sz0), (0, 0, sz1 - sz0), (PX - X, 0, 0), texnum=1)  # side +y
+    # bright light panel on the pocket back wall
+    e = float(emission)
+    b.quad(
+        (PX - 1, sy0 + 8, sz0 + 8),
+        (0, 0, sz1 - sz0 - 16),
+        (0, sy1 - sy0 - 16, 0),
+        flags=materials.MAT_FLAGS_SOLID,
+        solid_albedo=(0.8, 0.8, 0.8),
+        solid_emission=(e, e, e),
+    )
+    scene = b.build()
+    atlas = pack_textures(textures)
+    uniforms = default_uniforms(
+        cam_x=(60.0, 256.0, 128.0),
+        cam_w=(1.0, 0.0, 0.0),
+        cam_u=(0.0, 0.0, 1.0),
+        fov_deg=90.0,
+    )
+    return SceneBundle(scene, atlas, uniforms)
+
+
 def furnace(albedo=0.5, emission=1.0) -> SceneBundle:
     """Closed cube, every face uniformly emissive with constant albedo.
 
@@ -267,7 +324,12 @@ def furnace(albedo=0.5, emission=1.0) -> SceneBundle:
     return SceneBundle(scene, atlas, uniforms)
 
 
-SCENES = {"box": cornell_box, "court": outdoor_court, "furnace": furnace}
+SCENES = {
+    "box": cornell_box,
+    "court": outdoor_court,
+    "furnace": furnace,
+    "alcove": alcove,
+}
 
 
 def get_scene(name: str, **kw) -> SceneBundle:

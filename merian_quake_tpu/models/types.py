@@ -152,7 +152,8 @@ class RenderConfig(NamedTuple):
     spp: int = 1
     max_path_length: int = 3
     seed: int = 1337
-    reference_mode: bool = True  # plain BSDF PT (mcpg.comp:59-65)
+    integrator: str = "pt"  # pt (= reference_mode, mcpg.comp:59-65) | mcpg
+    denoise: bool = False  # SVGF + TAA + FXAA real-time path
     max_intersections: int = materials.MAX_INTERSECTIONS
     bilinear: bool = True
 

@@ -23,6 +23,63 @@ def accumulate(history, new, iteration, alpha=0.0):
     return history + (new - history) * w_new
 
 
+def firefly_clamp(img, k=4.0):
+    """Percentile-style firefly filter (merian Accumulate node's
+    'firefly percentile' option, default_config.json:404-427): clamp
+    each pixel's luminance against its 3×3 neighborhood mean + k·std."""
+    from ..ops import color as color_ops
+
+    lum = color_ops.yuv_luminance(img[..., :3])
+    H, W = lum.shape
+    s1 = jnp.zeros_like(lum)
+    s2 = jnp.zeros_like(lum)
+    cnt = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            ys = jnp.clip(jnp.arange(H) + dy, 0, H - 1)
+            xs = jnp.clip(jnp.arange(W) + dx, 0, W - 1)
+            v = lum[ys][:, xs]
+            s1 = s1 + v
+            s2 = s2 + v * v
+            cnt += 1
+    mean = s1 / cnt
+    std = jnp.sqrt(jnp.maximum(s2 / cnt - mean * mean, 0.0))
+    limit = mean + k * std + 1e-4
+    scale = jnp.minimum(1.0, limit / jnp.maximum(lum, 1e-8))
+    return img.at[..., :3].set(img[..., :3] * scale[..., None])
+
+
+def accumulate_reprojected(
+    history,
+    hist_len,
+    new,
+    mv,
+    valid_extra=None,
+    alpha=0.0,
+    firefly_k=0.0,
+):
+    """Accumulate with motion-vector reprojection (merian Accumulate).
+
+    history/new: f32[H, W, C]; hist_len: f32[H, W]; mv: f32[H, W, 2];
+    valid_extra: optional bool[H, W] additional reprojection gate
+    (normal/depth tests computed by the caller). Returns
+    (accumulated, new_hist_len).
+    """
+    if firefly_k > 0.0:
+        new = firefly_clamp(new, firefly_k)
+    prev, valid = reproject(history, mv)
+    if valid_extra is not None:
+        valid = valid & valid_extra
+    n = jnp.where(valid, hist_len, 0.0) + 1.0
+    w_new = jnp.maximum(jnp.asarray(alpha, jnp.float32), 1.0 / n)
+    out = jnp.where(
+        valid[..., None], prev + (new - prev) * w_new[..., None], new
+    )
+    return out, n
+
+
 def reproject(history, mv, fallback=None):
     """Bilinear history lookup at pixel + mv (mv in pixels, prev - cur).
 

@@ -1,0 +1,117 @@
+"""MCPG configuration and persistent device state.
+
+State layout mirrors render_mcpg/grid.h (MCState, LightCacheVertex) in
+structure-of-arrays form; defaults mirror render_mcpg.hpp:112-166.
+The production grid sizes (32,777,259 adaptive + 800,009 static states,
+4,000,000 light-cache entries ≈ 2.4 GB) are presets; tests use small
+grids (hash grids degrade gracefully — only collision rates change).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+
+class MCPGConfig(NamedTuple):
+    """Static (compile-time) MCPG knobs (≈ shader macros,
+    render_mcpg.cpp:137-185)."""
+
+    # grid sizes
+    mc_adaptive_size: int = 1 << 17
+    mc_static_size: int = 1 << 14
+    lc_size: int = 1 << 16
+    # sampling
+    mc_samples: int = 5
+    mc_samples_adaptive_prob: float = 0.7
+    surf_bsdf_p: float = 0.15
+    dir_guide_prior: float = 0.2
+    mc_fast_recovery: bool = True
+    use_light_cache_tail: bool = False
+    # adaptive grid (exponential type, render_mcpg.hpp:143-148)
+    mc_adaptive_tan_alpha_half: float = 0.003
+    mc_adaptive_min_width: float = 0.01
+    mc_adaptive_power: float = 4.0
+    mc_adaptive_steps_per_unit: float = 6.0
+    # static grid
+    mc_static_width: float = 25.3
+    # light cache grid (exponential, render_mcpg.hpp:135-141)
+    lc_tan_alpha_half: float = 0.002
+    lc_min_width: float = 0.01
+    lc_power: float = 2.0
+    lc_steps_per_unit: float = 6.0
+    # chain limits (mc.glsl / compute_updates.comp)
+    ml_max_n: int = 1024
+    ml_min_alpha: float = 0.01
+    lc_max_n: int = 128
+    lc_min_alpha: float = 0.01
+    # vMF sharpness cap. The reference lets kappa run to the fp32 limit
+    # (mc_state_kappa, mc.glsl:43-46); on this implementation moderate
+    # caps measurably reduce guided-MIS variance (see test sweep).
+    kappa_max: float = 30.0
+
+    @property
+    def mc_total_size(self) -> int:
+        return self.mc_adaptive_size + self.mc_static_size
+
+
+# Production-scale preset (matches the reference buffer sizes).
+PRODUCTION = MCPGConfig(
+    mc_adaptive_size=32_777_259, mc_static_size=800_009, lc_size=4_000_000
+)
+
+
+class MCStates(NamedTuple):
+    """SoA MCState array over adaptive ++ static slots (grid.h:6-21)."""
+
+    id: jnp.ndarray  # u32[S] chain identity
+    w_tgt: jnp.ndarray  # f32[S, 3] weighted target point
+    sum_w: jnp.ndarray  # f32[S]
+    w_cos: jnp.ndarray  # f32[S]
+    mv: jnp.ndarray  # f32[S, 3] target velocity
+    T: jnp.ndarray  # f32[S] last update time
+    N: jnp.ndarray  # i32[S] sample count
+    hash: jnp.ndarray  # u32[S] 16-bit verification hash
+
+
+class LightCache(NamedTuple):
+    """SoA LightCacheVertex array (grid.h:37-46). The spinlock is
+    replaced by per-frame aggregation; the update_succeeded/canceled
+    contention counters become per-frame scalars (collisions = samples
+    sharing a cell in one frame)."""
+
+    hash: jnp.ndarray  # u32[L] verification hash
+    irr: jnp.ndarray  # f32[L, 3]
+    N: jnp.ndarray  # i32[L]
+
+
+class MCPGState(NamedTuple):
+    mc: MCStates
+    lc: LightCache
+    # observability (≈ lock contention counters, light_cache.glsl:59-83)
+    lc_updates_applied: jnp.ndarray  # u32[]
+    lc_updates_merged: jnp.ndarray  # u32[] samples merged into one cell
+
+
+def init_mcpg_state(config: MCPGConfig) -> MCPGState:
+    s = config.mc_total_size
+    l = config.lc_size
+    return MCPGState(
+        mc=MCStates(
+            id=jnp.zeros((s,), jnp.uint32),
+            w_tgt=jnp.zeros((s, 3), jnp.float32),
+            sum_w=jnp.zeros((s,), jnp.float32),
+            w_cos=jnp.zeros((s,), jnp.float32),
+            mv=jnp.zeros((s, 3), jnp.float32),
+            T=jnp.zeros((s,), jnp.float32),
+            N=jnp.zeros((s,), jnp.int32),
+            hash=jnp.zeros((s,), jnp.uint32),
+        ),
+        lc=LightCache(
+            hash=jnp.zeros((l,), jnp.uint32),
+            irr=jnp.zeros((l, 3), jnp.float32),
+            N=jnp.zeros((l,), jnp.int32),
+        ),
+        lc_updates_applied=jnp.zeros((), jnp.uint32),
+        lc_updates_merged=jnp.zeros((), jnp.uint32),
+    )

@@ -1,0 +1,169 @@
+"""MC hash-grid addressing, state load/finalize, vMF lobe derivation.
+
+Faithful port of render_mcpg/mc.glsl semantics:
+- adaptive grid: camera-distance-scaled exponential level with stochastic
+  level offset (-log2(1-u)) and stochastic trilinear cell jitter, normal
+  bucket in the hash (mc.glsl:60-111),
+- static grid: fixed-width cells, hemisphere check on load (:114-157),
+- 16-bit verification hash → collision resets the state (:90-96),
+- temporal target reprojection w_tgt += sum_w·(cl_time - T)·mv (:94),
+- vMF lobe: direction to weighted target, kappa from regularized mean
+  cosine with a distance-based ML prior (:19-49).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ...ops import hashgrid, linalg, rng as rng_ops, vmf
+from .config import MCPGConfig, MCStates
+
+_U32 = jnp.uint32
+
+
+class StateSample(NamedTuple):
+    """A gathered MCState per ray (all arrays [...])."""
+
+    id: jnp.ndarray
+    w_tgt: jnp.ndarray  # [..., 3]
+    sum_w: jnp.ndarray
+    w_cos: jnp.ndarray
+    mv: jnp.ndarray  # [..., 3]
+    T: jnp.ndarray
+    N: jnp.ndarray
+    hash: jnp.ndarray
+
+
+def new_state(rng_state):
+    """mc_state_new(): fresh chain with random id (mc.glsl:12)."""
+    rng_state, u = rng_ops.uniform(rng_state)
+    shape = u.shape
+    z3 = jnp.zeros(shape + (3,))
+    return rng_state, StateSample(
+        id=(u * 4294967295.0).astype(_U32),
+        w_tgt=z3,
+        sum_w=jnp.zeros(shape),
+        w_cos=jnp.zeros(shape),
+        mv=z3,
+        T=jnp.zeros(shape),
+        N=jnp.zeros(shape, jnp.int32),
+        hash=jnp.zeros(shape, _U32),
+    )
+
+
+def state_pos(s: StateSample) -> jnp.ndarray:
+    return jnp.where(
+        (s.sum_w > 0.0)[..., None], s.w_tgt / jnp.where(s.sum_w == 0.0, 1.0, s.sum_w)[..., None], s.w_tgt
+    )
+
+
+def state_dir(s: StateSample, pos: jnp.ndarray) -> jnp.ndarray:
+    return linalg.normalize(state_pos(s) - pos)
+
+
+def state_prior(s: StateSample, pos: jnp.ndarray, cfg: MCPGConfig) -> jnp.ndarray:
+    d2 = jnp.sum(jnp.square(pos - state_pos(s)), axis=-1)
+    return jnp.maximum(1e-4, cfg.dir_guide_prior / jnp.maximum(d2, 1e-12))
+
+
+def state_mean_cos(s: StateSample, pos, cfg: MCPGConfig) -> jnp.ndarray:
+    n2 = (s.N * s.N).astype(jnp.float32)
+    r = jnp.clip(
+        s.w_cos / jnp.where(s.sum_w == 0.0, 1.0, s.sum_w), 0.0, 0.9999999
+    )
+    return n2 * r / (n2 + state_prior(s, pos, cfg))
+
+
+def state_vmf(s: StateSample, pos, cfg: MCPGConfig):
+    """Returns (mu [...,3], kappa [...]) — mc_state_get_vmf."""
+    mu = state_dir(s, pos)
+    kappa = jnp.minimum(
+        vmf.kappa_from_mean_cos(state_mean_cos(s, pos, cfg)), cfg.kappa_max
+    )
+    return mu, kappa
+
+
+def light_missing(s: StateSample, mc_f, wo, pos, cfg: MCPGConfig):
+    """mc_light_missing (mc.glsl:28-41): learned light vanished?"""
+    big_f = mc_f > 1e-3 * s.sum_w
+    cos = linalg.dot(wo, state_dir(s, pos))
+    aligned = cos >= 0.9 + 0.1 * state_mean_cos(s, pos, cfg)
+    return (~big_f) & aligned
+
+
+# ---------------- adaptive grid addressing ----------------
+
+
+def _adaptive_width_for_level(level, cfg: MCPGConfig):
+    return cfg.mc_adaptive_min_width * jnp.power(
+        cfg.mc_adaptive_power, level / cfg.mc_adaptive_steps_per_unit
+    )
+
+
+def adaptive_target_level(pos, cam_x, cfg: MCPGConfig):
+    width = 2.0 * cfg.mc_adaptive_tan_alpha_half * linalg.distance(cam_x, pos)
+    return jnp.round(
+        cfg.mc_adaptive_steps_per_unit
+        * jnp.log(jnp.maximum(width, cfg.mc_adaptive_min_width) / cfg.mc_adaptive_min_width)
+        / jnp.log(cfg.mc_adaptive_power)
+    )
+
+
+def adaptive_cell(rng_state, pos, normal, cam_x, cfg: MCPGConfig):
+    """Stochastic adaptive cell for pos: (rng, buffer_index, hash16)."""
+    rng_state, u_level = rng_ops.uniform(rng_state)
+    level = adaptive_target_level(pos, cam_x, cfg) + jnp.floor(
+        -jnp.log2(jnp.maximum(1.0 - u_level, 1e-7))
+    )
+    level = level.astype(jnp.int32)
+    rng_state, u3 = rng_ops.uniform3(rng_state)
+    idx = hashgrid.grid_idx_interpolate(
+        pos, _adaptive_width_for_level(level.astype(jnp.float32), cfg)[..., None], u3
+    )
+    buf = hashgrid.hash_grid_normal_level(
+        idx, normal, level.astype(_U32), cfg.mc_adaptive_size
+    )
+    h = hashgrid.hash2_grid_level(idx, level.astype(_U32))
+    return rng_state, buf, h
+
+
+def static_cell(rng_state, pos, cfg: MCPGConfig):
+    """Static cell: (rng, buffer_index [offset past adaptive], hash16)."""
+    rng_state, u3 = rng_ops.uniform3(rng_state)
+    idx = hashgrid.grid_idx_interpolate(pos, cfg.mc_static_width, u3)
+    buf = hashgrid.hash_grid(idx, cfg.mc_static_size) + _U32(cfg.mc_adaptive_size)
+    h = hashgrid.hash2_grid(idx)
+    return rng_state, buf, h
+
+
+def gather_state(mc: MCStates, idx) -> StateSample:
+    idx = idx.astype(jnp.int32)
+    return StateSample(
+        id=jnp.take(mc.id, idx),
+        w_tgt=jnp.take(mc.w_tgt, idx, axis=0),
+        sum_w=jnp.take(mc.sum_w, idx),
+        w_cos=jnp.take(mc.w_cos, idx),
+        mv=jnp.take(mc.mv, idx, axis=0),
+        T=jnp.take(mc.T, idx),
+        N=jnp.take(mc.N, idx),
+        hash=jnp.take(mc.hash, idx),
+    )
+
+
+def finalize_load(
+    s: StateSample,
+    expected_hash,
+    cl_time,
+    pos=None,
+    normal=None,
+    hemisphere_check: bool = False,
+) -> StateSample:
+    """Collision/validity reset + temporal target reprojection
+    (mc_adaptive_finalize_load / mc_static_finalize_load)."""
+    invalid = (s.sum_w < 0.0) | (s.hash != expected_hash)
+    if hemisphere_check:
+        invalid = invalid | (linalg.dot(normal, state_dir(s, pos)) <= 0.0)
+    sum_w = jnp.where(invalid, 0.0, s.sum_w)
+    w_tgt = s.w_tgt + (sum_w * (cl_time - s.T))[..., None] * s.mv
+    return s._replace(sum_w=sum_w, w_tgt=w_tgt)

@@ -1,0 +1,313 @@
+"""MCPG guided surface kernel.
+
+Port of res/shader/render_mcpg/mcpg.comp (guided mode): per pixel and
+sample, each bounce draws MC_SAMPLES Markov-chain states from the two
+hash grids (adaptive w.p. mc_samples_adaptive_prob, else static),
+reservoir-selects a winner by sum_w, samples the outgoing direction
+defensively (BSDF w.p. surf_bsdf_p, else the winner's vMF lobe), and
+MIS-combines the vMF mixture with the BSDF pdf. Paths emit light-cache
+samples and Markov-chain update samples into dense masked queues (the
+TPU replacement for the atomic update buffer), plus fast-recovery zero
+requests for vanished lights.
+
+RNG note: the draw ORDER differs from the GLSL (both grid cells are
+always computed, branches are masked selects), so streams are not
+bit-identical to the reference — only distribution-equivalent.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...accel.build import AccelScene
+from ...models.types import RenderConfig, TextureAtlas, Uniforms
+from ...ops import bsdf, color as color_ops, linalg, rng as rng_ops, vmf
+from ..gbuffer import GBufferOutput
+from ..hit import Hit, decompress_hit
+from ..pt import _where_hit
+from ..trace import trace_ray
+from .config import MCPGConfig, MCPGState
+from . import grids
+from .light_cache import lc_get
+
+
+class UpdateQueue(NamedTuple):
+    """Dense masked MC update samples (≈ MCUpdate slots, grid.h:23-35)."""
+
+    cell: jnp.ndarray  # i32[M] target state slot
+    id: jnp.ndarray  # u32[M] chain id the sample was generated from
+    w: jnp.ndarray  # f32[M] goodness (mc_f)
+    target: jnp.ndarray  # f32[M, 3] ray hit point
+    mv: jnp.ndarray  # f32[M, 3] target velocity
+    pos: jnp.ndarray  # f32[M, 3] path vertex position
+    normal: jnp.ndarray  # f32[M, 3]
+    mask: jnp.ndarray  # bool[M]
+
+
+class LCQueue(NamedTuple):
+    pos: jnp.ndarray  # f32[M, 3]
+    normal: jnp.ndarray
+    irr: jnp.ndarray
+    mask: jnp.ndarray
+
+
+class ZeroQueue(NamedTuple):
+    """Fast-recovery sum_w zero requests (mcpg.comp:175-178)."""
+
+    cell: jnp.ndarray  # i32[M]
+    mask: jnp.ndarray
+
+
+class SurfaceResult(NamedTuple):
+    irradiance: jnp.ndarray  # f32[rows, W, 4]
+    updates: UpdateQueue
+    lc_samples: LCQueue
+    zeros: ZeroQueue
+
+
+def _select_state(mask, a: grids.StateSample, b: grids.StateSample):
+    pick = lambda x, y: jnp.where(
+        mask[..., None] if x.ndim > mask.ndim else mask, x, y
+    )
+    return grids.StateSample(*[pick(x, y) for x, y in zip(a, b)])
+
+
+def render_mcpg_surface(
+    accel: AccelScene,
+    atlas: TextureAtlas,
+    uniforms: Uniforms,
+    config: RenderConfig,
+    mcfg: MCPGConfig,
+    mstate: MCPGState,
+    gbuf: GBufferOutput,
+    y0=0,
+    rows: int | None = None,
+) -> SurfaceResult:
+    W, H = config.width, config.height
+    rows = H if rows is None else rows
+    n = W * rows
+    K = mcfg.mc_samples
+    cam_x = uniforms.cam_x
+    mc = mstate.mc
+    lc = mstate.lc
+
+    px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(rows), indexing="xy")
+    state0 = rng_ops.seed_pixel(
+        px.reshape(-1),
+        py.reshape(-1) + jnp.asarray(y0, jnp.int32),
+        uniforms.frame,
+        config.seed,
+    )
+
+    first_hit = decompress_hit(gbuf.hits)
+    pixel_live = (first_hit.albedo >= 1e-7).any(axis=-1)
+
+    def one_sample(rng_state, is_first_spp: bool):
+        cur = first_hit
+        throughput = jnp.ones((n, 3))
+        f = jnp.zeros((n, 3))
+        p = jnp.ones((n,))
+        done = ~pixel_live
+
+        def segment(carry, seg_idx):
+            rng_state, cur, throughput, f, p, done = carry
+
+            lookup_pos = cur.prev_pos if is_first_spp else cur.pos
+
+            # ---- draw K guide states, reservoir-select by sum_w ----
+            score_sum = jnp.zeros((n,))
+            mus, kappas, scores = [], [], []
+            rng_state, win = grids.new_state(rng_state)
+            win_buf = jnp.full((n,), -1, jnp.int32)
+            for _ in range(K):
+                rng_state, u_grid = rng_ops.uniform(rng_state)
+                adaptive = u_grid < mcfg.mc_samples_adaptive_prob
+                rng_state, abuf, ahash = grids.adaptive_cell(
+                    rng_state, lookup_pos, cur.normal, cam_x, mcfg
+                )
+                rng_state, sbuf, shash = grids.static_cell(
+                    rng_state, lookup_pos, mcfg
+                )
+                buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
+                st = grids.gather_state(mc, buf)
+                st_a = grids.finalize_load(st, ahash, uniforms.cl_time)
+                st_s = grids.finalize_load(
+                    st,
+                    shash,
+                    uniforms.cl_time,
+                    pos=cur.pos,
+                    normal=cur.normal,
+                    hemisphere_check=True,
+                )
+                st = _select_state(adaptive, st_a, st_s)
+                score_sum = score_sum + st.sum_w
+                rng_state, u_res = rng_ops.uniform(rng_state)
+                take = u_res < st.sum_w / score_sum  # NaN-compare false
+                win = _select_state(take, st, win)
+                win_buf = jnp.where(take, buf, win_buf)
+                mu_i, kap_i = grids.state_vmf(st, cur.pos, mcfg)
+                mus.append(mu_i)
+                kappas.append(kap_i)
+                scores.append(st.sum_w)
+
+            have_guide = score_sum > 0.0
+
+            # ---- defensive direction sampling ----
+            rng_state, u_b = rng_ops.uniform(rng_state)
+            use_bsdf = (~have_guide) | (u_b < mcfg.surf_bsdf_p)
+            alpha = bsdf.roughness_to_alpha(cur.roughness)
+            rng_state, u3 = rng_ops.uniform3(rng_state)
+            wo_b = bsdf.sample(cur.wi, cur.normal, alpha, u3)
+            win_mu, win_kappa = grids.state_vmf(win, cur.pos, mcfg)
+            rng_state, u2 = rng_ops.uniform2(rng_state)
+            wo_g = vmf.sample(win_mu, win_kappa, u2)
+            wo = jnp.where(use_bsdf[..., None], wo_b, wo_g)
+            rng_state, fresh = grids.new_state(rng_state)
+            mc_state = _select_state(use_bsdf, fresh, win)
+            mc_idx = jnp.where(use_bsdf, -1, win_buf)
+
+            wodotn = linalg.dot(wo, cur.normal)
+            below = (wodotn <= 1e-3) | (linalg.dot(wo, cur.geo_normal) <= 1e-3)
+            active = ~done & ~below
+
+            # ---- MIS pdf (mcpg.comp:127-136) ----
+            guided_p = jnp.zeros((n,))
+            for mu_i, kap_i, sc_i in zip(mus, kappas, scores):
+                guided_p = guided_p + sc_i * vmf.pdf(wo, mu_i, kap_i)
+            guided_p = jnp.where(
+                have_guide, guided_p / jnp.where(have_guide, score_sum, 1.0), 0.0
+            )
+            bsdf_p = bsdf.pdf(cur.wi, wo, cur.normal, alpha)
+            wo_p = (
+                jnp.where(have_guide, mcfg.surf_bsdf_p, 1.0) * bsdf_p
+                + (1.0 - mcfg.surf_bsdf_p) * guided_p
+            )
+
+            # ---- trace next segment ----
+            origin = cur.pos - cur.wi * 1e-3
+            res = trace_ray(accel, atlas, uniforms, origin, wo)
+            incident = res.contribution
+            has_inc = (incident > 0.0).any(axis=-1)
+
+            rng_state, lc_irr = lc_get(
+                rng_state, lc, res.hit.pos, res.hit.normal, cam_x, mcfg
+            )
+            use_inc = has_inc | (
+                (not mcfg.use_light_cache_tail) and config.max_path_length == 2
+            )
+            lc_incident = jnp.where(
+                use_inc[..., None], incident, res.throughput * lc_irr
+            )
+
+            micro = bsdf.eval_times_cos(cur.wi, wo, cur.normal, alpha)
+            new_thr = throughput * micro[..., None]
+            if mcfg.use_light_cache_tail:
+                last = seg_idx == config.max_path_length - 2
+                f_val = jnp.where(last, lc_incident, incident)
+                new_f = new_thr * f_val
+            else:
+                new_f = new_thr * incident
+            new_p = p * wo_p
+
+            # ---- guiding updates (mcpg.comp:165-181) ----
+            mc_f = color_ops.yuv_luminance(
+                lc_incident * micro[..., None] / wo_p[..., None]
+            )
+            finite = jnp.isfinite(mc_f)
+            lc_val = (
+                lc_incident
+                * (cur.albedo / jnp.pi)
+                * (wodotn / jnp.maximum(wo_p, 10.0))[..., None]
+            )
+            lc_mask = active & finite
+
+            rng_state, u_acc = rng_ops.uniform(rng_state)
+            accept = u_acc * score_sum < mc_f * K  # NaN-compare false
+            rng_state, fb_buf, _ = grids.adaptive_cell(
+                rng_state, cur.pos, cur.normal, cam_x, mcfg
+            )
+            up_cell = jnp.where(mc_idx >= 0, mc_idx, fb_buf.astype(jnp.int32))
+            target_mv = (res.hit.pos - res.hit.prev_pos) / uniforms.time_diff
+            up_mask = active & finite & accept
+
+            missing = grids.light_missing(mc_state, mc_f, wo, cur.pos, mcfg)
+            zero_mask = (
+                active
+                & finite
+                & ~accept
+                & (mc_idx >= 0)
+                & missing
+                & bool(mcfg.mc_fast_recovery)
+            )
+
+            ys = (
+                LCQueue(pos=cur.pos, normal=cur.normal, irr=lc_val, mask=lc_mask),
+                UpdateQueue(
+                    cell=up_cell,
+                    id=mc_state.id,
+                    w=mc_f,
+                    target=res.hit.pos,
+                    mv=target_mv,
+                    pos=cur.pos,
+                    normal=cur.normal,
+                    mask=up_mask,
+                ),
+                ZeroQueue(cell=jnp.maximum(mc_idx, 0), mask=zero_mask),
+            )
+
+            # ---- commit path state on active lanes ----
+            throughput = jnp.where(active[..., None], new_thr, throughput)
+            f = jnp.where(active[..., None], new_f, f)
+            p = jnp.where(active, new_p, p)
+            throughput = jnp.where(
+                active[..., None],
+                throughput * res.throughput * res.hit.albedo,
+                throughput,
+            )
+            cur = _where_hit(active, res.hit, cur)
+            dead = (throughput < 1e-7).all(axis=-1) | (f > 1e-7).any(axis=-1)
+            done = done | below | dead
+            return (rng_state, cur, throughput, f, p, done), ys
+
+        (rng_state, cur, throughput, f, p, done), ys = jax.lax.scan(
+            segment,
+            (rng_state, cur, throughput, f, p, done),
+            jnp.arange(max(config.max_path_length - 1, 0)),
+        )
+        contrib = f / jnp.maximum(p, 1e-30)[..., None]
+        ok = jnp.isfinite(contrib).all(axis=-1)
+        contrib = jnp.where((ok & pixel_live)[..., None], contrib, 0.0)
+        lum = color_ops.yuv_luminance(contrib)
+        return rng_state, contrib, lum * lum, ys
+
+    irr = jnp.zeros((n, 3))
+    m2 = jnp.zeros((n,))
+    all_ys = []
+    rng_state = state0
+    for s in range(config.spp):
+        rng_state, contrib, l2, ys = one_sample(rng_state, s == 0)
+        irr = irr + contrib
+        m2 = m2 + l2
+        all_ys.append(ys)
+    if config.spp > 0:
+        irr = irr / config.spp
+        m2 = m2 / config.spp
+
+    # flatten (spp, segs, N) queues → (M,)
+    def _cat(getter):
+        parts = [getter(ys) for ys in all_ys]
+        return jax.tree.map(
+            lambda *xs: jnp.concatenate(
+                [x.reshape((-1,) + x.shape[2:]) for x in xs]
+            ),
+            *parts,
+        )
+
+    lcq = _cat(lambda ys: ys[0])
+    upq = _cat(lambda ys: ys[1])
+    zq = _cat(lambda ys: ys[2])
+
+    img = jnp.concatenate([irr, m2[..., None]], axis=-1).reshape(rows, W, 4)
+    return SurfaceResult(irradiance=img, updates=upq, lc_samples=lcq, zeros=zq)

@@ -30,21 +30,40 @@ from .render.pt import render_pt
 
 class FrameState(NamedTuple):
     """Device state threaded across frames (≈ the reference's history
-    images held by Accumulate self-loop connections)."""
+    images held by Accumulate self-loop connections, plus the learned
+    guiding state for the MCPG integrator)."""
 
     accum_irradiance: jnp.ndarray  # f32[H, W, 4] path irradiance
     accum_direct: jnp.ndarray  # f32[H, W, 4] first-hit emission
     accum_albedo: jnp.ndarray  # f32[H, W, 4]
     iteration: jnp.ndarray  # i32[]
+    mcpg: object = None  # MCPGState when integrator == "mcpg"
+    svgf: object = None  # SVGFState when config.denoise
+    taa_prev: object = None  # f32[H, W, 3] previous LDR (TAA history)
 
 
-def init_state(config: RenderConfig) -> FrameState:
+def init_state(config: RenderConfig, mcpg_config=None) -> FrameState:
     H, W = config.height, config.width
+    mcpg_state = None
+    if config.integrator == "mcpg":
+        from .render.mcpg import MCPGConfig, init_mcpg_state
+
+        mcpg_state = init_mcpg_state(mcpg_config or MCPGConfig())
+    svgf_state = None
+    taa_prev = None
+    if config.denoise:
+        from .post.svgf import init_svgf_state
+
+        svgf_state = init_svgf_state(H, W)
+        taa_prev = jnp.zeros((H, W, 3))
     return FrameState(
         accum_irradiance=jnp.zeros((H, W, 4)),
         accum_direct=jnp.zeros((H, W, 4)),
         accum_albedo=jnp.zeros((H, W, 4)),
         iteration=jnp.zeros((), jnp.int32),
+        mcpg=mcpg_state,
+        svgf=svgf_state,
+        taa_prev=taa_prev,
     )
 
 
@@ -57,12 +76,34 @@ def frame_core(
     y0=0,
     rows: int | None = None,
     mean_fn=lambda x: x,
+    mcpg_config=None,
 ):
     """One frame over an image-row slab. ``mean_fn`` reduces a local
     scalar mean to the global mean (lax.pmean under shard_map)."""
     rows = config.height if rows is None else rows
     gbuf = render_gbuffer(accel, atlas, uniforms, config, y0=y0, rows=rows)
-    irr = render_pt(accel, atlas, uniforms, config, gbuf, y0=y0, rows=rows)
+    new_mcpg = state.mcpg
+    if config.integrator == "mcpg":
+        from .render.mcpg import apply_updates
+        from .render.mcpg.surface import render_mcpg_surface
+
+        res = render_mcpg_surface(
+            accel,
+            atlas,
+            uniforms,
+            config,
+            mcpg_config,
+            state.mcpg,
+            gbuf,
+            y0=y0,
+            rows=rows,
+        )
+        irr = res.irradiance
+        new_mcpg = apply_updates(
+            jnp.uint32(config.seed), state.mcpg, res, uniforms, mcpg_config
+        )
+    else:
+        irr = render_pt(accel, atlas, uniforms, config, gbuf, y0=y0, rows=rows)
     new_state = FrameState(
         accum_irradiance=accumulate(state.accum_irradiance, irr, state.iteration),
         accum_direct=accumulate(
@@ -70,21 +111,45 @@ def frame_core(
         ),
         accum_albedo=accumulate(state.accum_albedo, gbuf.albedo, state.iteration),
         iteration=state.iteration + 1,
+        mcpg=new_mcpg,
     )
-    # beauty = demodulated path irradiance × albedo + direct emission
-    # (the reference's add node combines the denoised renderer output
-    # with gbuffer irradiance, default_config.json:118-128; SVGF
-    # re-modulates albedo internally)
-    beauty_hdr = (
-        new_state.accum_irradiance[..., :3]
-        * jnp.maximum(new_state.accum_albedo[..., :3], 0.0)
-        + new_state.accum_direct[..., :3]
-    )
-    # auto exposure (key / log-average luminance, merian Exposure node)
-    lum = color_ops.yuv_luminance(beauty_hdr)
-    log_mean = mean_fn(jnp.mean(jnp.log(lum + 1e-4)))
-    scale = 0.18 / jnp.maximum(jnp.exp(log_mean), 1e-4)
-    ldr = tonemap_reinhard_extended(beauty_hdr * scale)
+    # beauty path (reference wiring, default_config.json:3-372):
+    # renderer irradiance → accumulate → SVGF(+albedo remodulate) →
+    # add direct emission → exposure → tonemap → TAA → FXAA
+    if config.denoise:
+        from .post.fxaa import fxaa
+        from .post.svgf import svgf
+        from .post.taa import taa
+
+        new_svgf, filtered = svgf(
+            state.svgf,
+            irr[..., :3],
+            irr[..., 3],
+            gbuf.mv,
+            gbuf.normal,
+            gbuf.linear_z,
+            gbuf.z_grad,
+            gbuf.albedo[..., :3],
+        )
+        beauty_hdr = filtered + gbuf.irradiance[..., :3]
+        lum = color_ops.yuv_luminance(beauty_hdr)
+        log_mean = mean_fn(jnp.mean(jnp.log(lum + 1e-4)))
+        scale = 0.18 / jnp.maximum(jnp.exp(log_mean), 1e-4)
+        ldr = tonemap_reinhard_extended(beauty_hdr * scale)
+        ldr = taa(state.taa_prev, ldr, gbuf.mv)
+        new_state = new_state._replace(svgf=new_svgf, taa_prev=ldr)
+        ldr = fxaa(ldr)
+    else:
+        beauty_hdr = (
+            new_state.accum_irradiance[..., :3]
+            * jnp.maximum(new_state.accum_albedo[..., :3], 0.0)
+            + new_state.accum_direct[..., :3]
+        )
+        # auto exposure (key / log-average luminance, merian Exposure node)
+        lum = color_ops.yuv_luminance(beauty_hdr)
+        log_mean = mean_fn(jnp.mean(jnp.log(lum + 1e-4)))
+        scale = 0.18 / jnp.maximum(jnp.exp(log_mean), 1e-4)
+        ldr = tonemap_reinhard_extended(beauty_hdr * scale)
     return new_state, {
         "hdr": beauty_hdr,
         "ldr": ldr,
@@ -93,25 +158,39 @@ def frame_core(
     }
 
 
-@partial(jax.jit, static_argnames=("config",))
+@partial(jax.jit, static_argnames=("config", "mcpg_config"))
 def render_frame(
     accel: AccelScene,
     atlas: TextureAtlas,
     uniforms: Uniforms,
     config: RenderConfig,
     state: FrameState,
+    mcpg_config=None,
 ):
     """One full frame on a single device. Returns (new_state, outputs)."""
-    return frame_core(accel, atlas, uniforms, config, state)
+    return frame_core(
+        accel, atlas, uniforms, config, state, mcpg_config=mcpg_config
+    )
 
 
-def render_sequence(bundle: SceneBundle, config: RenderConfig, frames: int = 1):
+def render_sequence(
+    bundle: SceneBundle,
+    config: RenderConfig,
+    frames: int = 1,
+    mcpg_config=None,
+):
     """Render `frames` frames of a static scene, returning final outputs."""
+    if config.integrator == "mcpg" and mcpg_config is None:
+        from .render.mcpg import MCPGConfig
+
+        mcpg_config = MCPGConfig()
     accel = build_accel(bundle.scene, bundle.atlas)
-    state = init_state(config)
+    state = init_state(config, mcpg_config)
     uniforms = bundle.uniforms
     outputs = None
     for i in range(frames):
         uniforms = uniforms._replace(frame=jnp.uint32(i))
-        state, outputs = render_frame(accel, bundle.atlas, uniforms, config, state)
+        state, outputs = render_frame(
+            accel, bundle.atlas, uniforms, config, state, mcpg_config
+        )
     return state, outputs

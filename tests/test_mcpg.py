@@ -1,0 +1,208 @@
+"""Unit tests for the MCPG guiding machinery."""
+import jax.numpy as jnp
+import numpy as np
+
+from merian_quake_tpu.render.mcpg import MCPGConfig, init_mcpg_state
+from merian_quake_tpu.render.mcpg import grids
+from merian_quake_tpu.render.mcpg.light_cache import lc_get, lc_update_batch
+from merian_quake_tpu.render.mcpg.surface import (
+    LCQueue,
+    SurfaceResult,
+    UpdateQueue,
+    ZeroQueue,
+)
+from merian_quake_tpu.render.mcpg.updates import apply_updates
+from merian_quake_tpu.models.types import default_uniforms
+from merian_quake_tpu.ops import rng as rng_ops
+
+CFG = MCPGConfig(mc_adaptive_size=1 << 12, mc_static_size=1 << 10, lc_size=1 << 12)
+
+
+def _rng(n, seed=1):
+    return rng_ops.seed_pixel(jnp.arange(n, dtype=jnp.uint32), 0, 0, seed)
+
+
+def test_adaptive_cell_locality_and_determinism():
+    cam = jnp.asarray([0.0, 0.0, 0.0])
+    pos = jnp.asarray([[100.0, 50.0, 20.0]] * 64)
+    nrm = jnp.asarray([[0.0, 0.0, 1.0]] * 64)
+    r = _rng(64)
+    _, buf1, h1 = grids.adaptive_cell(r, pos, nrm, cam, CFG)
+    _, buf2, h2 = grids.adaptive_cell(r, pos, nrm, cam, CFG)
+    np.testing.assert_array_equal(np.asarray(buf1), np.asarray(buf2))
+    # stochastic level/jitter: same position, different streams → a few
+    # distinct cells, all within the adaptive partition
+    assert len(np.unique(np.asarray(buf1))) > 1
+    assert np.asarray(buf1).max() < CFG.mc_adaptive_size
+
+
+def test_static_cell_offset_range():
+    pos = jnp.asarray([[100.0, 50.0, 20.0]] * 16)
+    _, buf, h = grids.static_cell(_rng(16), pos, CFG)
+    b = np.asarray(buf)
+    assert (b >= CFG.mc_adaptive_size).all()
+    assert (b < CFG.mc_total_size).all()
+
+
+def test_finalize_load_collision_reset_and_reprojection():
+    s = grids.StateSample(
+        id=jnp.asarray([1, 2], jnp.uint32),
+        w_tgt=jnp.asarray([[10.0, 0, 0], [10.0, 0, 0]]),
+        sum_w=jnp.asarray([2.0, 2.0]),
+        w_cos=jnp.asarray([1.0, 1.0]),
+        mv=jnp.asarray([[1.0, 0, 0], [1.0, 0, 0]]),
+        T=jnp.asarray([0.0, 0.0]),
+        N=jnp.asarray([5, 5], jnp.int32),
+        hash=jnp.asarray([42, 42], jnp.uint32),
+    )
+    out = grids.finalize_load(
+        s, jnp.asarray([42, 43], jnp.uint32), cl_time=2.0
+    )
+    # matching hash: target moved by sum_w * dt * mv = 2*2*1 = 4
+    np.testing.assert_allclose(np.asarray(out.w_tgt[0]), [14.0, 0, 0])
+    assert float(out.sum_w[0]) == 2.0
+    # hash mismatch: reset sum_w → no reprojection either
+    assert float(out.sum_w[1]) == 0.0
+    np.testing.assert_allclose(np.asarray(out.w_tgt[1]), [10.0, 0, 0])
+
+
+def test_vmf_kappa_grows_with_mean_cos():
+    def mk(w_cos):
+        return grids.StateSample(
+            id=jnp.asarray([1], jnp.uint32),
+            w_tgt=jnp.asarray([[100.0, 0, 0]]),
+            sum_w=jnp.asarray([1.0]),
+            w_cos=jnp.asarray([w_cos]),
+            mv=jnp.zeros((1, 3)),
+            T=jnp.zeros((1,)),
+            N=jnp.asarray([100], jnp.int32),
+            hash=jnp.zeros((1,), jnp.uint32),
+        )
+
+    pos = jnp.asarray([[0.0, 0.0, 0.0]])
+    _, k_low = grids.state_vmf(mk(0.3), pos, CFG)
+    _, k_high = grids.state_vmf(mk(0.95), pos, CFG)
+    assert float(k_high[0]) > float(k_low[0]) > 0.0
+    mu, _ = grids.state_vmf(mk(0.9), pos, CFG)
+    np.testing.assert_allclose(np.asarray(mu[0]), [1.0, 0, 0], atol=1e-6)
+
+
+def test_light_cache_learns_and_reads_back():
+    st = init_mcpg_state(CFG)
+    cam = jnp.asarray([0.0, 0.0, 0.0])
+    m = 256
+    pos = jnp.broadcast_to(jnp.asarray([50.0, 10.0, 5.0]), (m, 3))
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (m, 3))
+    irr = jnp.broadcast_to(jnp.asarray([2.0, 1.0, 0.5]), (m, 3))
+    mask = jnp.ones((m,), bool)
+    lc = st.lc
+    r = _rng(m)
+    for _ in range(60):
+        r, lc, applied, merged = lc_update_batch(
+            r, lc, pos, nrm, irr, mask, cam, CFG
+        )
+    r2, got = lc_get(_rng(m, seed=9), lc, pos, nrm, cam, CFG)
+    got = np.asarray(got)
+    hit = got.sum(-1) > 0
+    assert hit.mean() > 0.9  # stochastic cell jitter may miss rarely
+    np.testing.assert_allclose(got[hit].mean(0), [2.0, 1.0, 0.5], rtol=0.25)
+
+
+def test_apply_updates_creates_and_matures_chains():
+    st = init_mcpg_state(CFG)
+    uni = default_uniforms(cl_time=1.0)
+    m = 64
+    pos = jnp.broadcast_to(jnp.asarray([50.0, 10.0, 5.0]), (m, 3))
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (m, 3))
+    tgt = jnp.broadcast_to(jnp.asarray([50.0, 10.0, 105.0]), (m, 3))
+    empty_lc = LCQueue(
+        pos=pos, normal=nrm, irr=jnp.zeros((m, 3)), mask=jnp.zeros((m,), bool)
+    )
+    zeros = ZeroQueue(cell=jnp.zeros((m,), jnp.int32), mask=jnp.zeros((m,), bool))
+
+    # round 1: fresh chains at arbitrary cells
+    cells = jnp.arange(m, dtype=jnp.int32)
+    upq = UpdateQueue(
+        cell=cells,
+        id=jnp.full((m,), 77, jnp.uint32),
+        w=jnp.full((m,), 3.0),
+        target=tgt,
+        mv=jnp.zeros((m, 3)),
+        pos=pos,
+        normal=nrm,
+        mask=jnp.ones((m,), bool),
+    )
+    res = SurfaceResult(
+        irradiance=jnp.zeros((1, 1, 4)), updates=upq, lc_samples=empty_lc,
+        zeros=zeros,
+    )
+    st1 = apply_updates(jnp.uint32(5), st, res, uni, CFG)
+    sw = np.asarray(st1.mc.sum_w)
+    assert (sw > 0).sum() >= 1  # winner saved into both grids
+    # learned target direction points at tgt
+    act = np.where(sw > 0)[0]
+    sp = np.asarray(st1.mc.w_tgt)[act] / sw[act][:, None]
+    np.testing.assert_allclose(
+        sp, np.broadcast_to(np.asarray(tgt)[0], sp.shape), atol=1.0
+    )
+
+    # round 2: matching ids at the occupied cells → N grows
+    occ = jnp.asarray(act[:8], jnp.int32)
+    ids = jnp.take(st1.mc.id, occ)
+    m2 = occ.shape[0]
+    upq2 = UpdateQueue(
+        cell=occ,
+        id=ids,
+        w=jnp.full((m2,), 3.0),
+        target=tgt[:m2],
+        mv=jnp.zeros((m2, 3)),
+        pos=pos[:m2],
+        normal=nrm[:m2],
+        mask=jnp.ones((m2,), bool),
+    )
+    res2 = SurfaceResult(
+        irradiance=jnp.zeros((1, 1, 4)),
+        updates=upq2,
+        lc_samples=LCQueue(
+            pos=pos[:m2], normal=nrm[:m2], irr=jnp.zeros((m2, 3)),
+            mask=jnp.zeros((m2,), bool),
+        ),
+        zeros=ZeroQueue(
+            cell=jnp.zeros((m2,), jnp.int32), mask=jnp.zeros((m2,), bool)
+        ),
+    )
+    st2 = apply_updates(jnp.uint32(6), st1, res2, uni, CFG)
+    assert int(np.asarray(st2.mc.N).max()) >= 2
+
+
+def test_fast_recovery_zeroes_state():
+    st = init_mcpg_state(CFG)
+    mc = st.mc._replace(sum_w=st.mc.sum_w.at[10].set(5.0))
+    st = st._replace(mc=mc)
+    m = 4
+    res = SurfaceResult(
+        irradiance=jnp.zeros((1, 1, 4)),
+        updates=UpdateQueue(
+            cell=jnp.zeros((m,), jnp.int32),
+            id=jnp.zeros((m,), jnp.uint32),
+            w=jnp.zeros((m,)),
+            target=jnp.zeros((m, 3)),
+            mv=jnp.zeros((m, 3)),
+            pos=jnp.zeros((m, 3)),
+            normal=jnp.zeros((m, 3)),
+            mask=jnp.zeros((m,), bool),
+        ),
+        lc_samples=LCQueue(
+            pos=jnp.zeros((m, 3)),
+            normal=jnp.zeros((m, 3)),
+            irr=jnp.zeros((m, 3)),
+            mask=jnp.zeros((m,), bool),
+        ),
+        zeros=ZeroQueue(
+            cell=jnp.asarray([10, 0, 0, 0], jnp.int32),
+            mask=jnp.asarray([True, False, False, False]),
+        ),
+    )
+    uni = default_uniforms()
+    st2 = apply_updates(jnp.uint32(1), st, res, uni, CFG)
+    assert float(st2.mc.sum_w[10]) == 0.0
