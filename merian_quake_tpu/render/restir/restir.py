@@ -1,0 +1,297 @@
+"""ReSTIR DI pass pipeline: generate → temporal → spatial → shade.
+
+Port of res/shader/render_restir/restir_di_{generate_samples_bsdf,
+temporal_reuse,spatial_reuse,shade}.comp and the host pass sequence
+(renderer_restir.cpp:206-250). Defaults mirror renderer_restir.hpp:
+106-128. The prev-frame reservoir/gbuffer delayed inputs
+(renderer_restir.hpp:71-84) live in ReSTIRState.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ...accel.build import AccelScene
+from ...models.types import RenderConfig, TextureAtlas, Uniforms
+from ...ops import bsdf, color as color_ops, linalg, rng as rng_ops
+from ..gbuffer import GBufferOutput
+from ..hit import Hit, decompress_hit
+from ..trace import trace_ray
+from . import reservoir as rsv
+from .reservoir import Reservoir
+
+
+class ReSTIRConfig(NamedTuple):
+    """Static knobs (≈ spec constants, renderer_restir.hpp:106-128)."""
+
+    spp: int = 1
+    apply_mv: bool = False
+    spatial_reuse_iterations: int = 1
+    temporal_clamp_m: int = 32 * 20
+    boiling_filter_strength: float = 0.0
+    temporal_normal_reject_cos: float = 0.96
+    temporal_depth_reject: float = 0.1
+    spatial_normal_reject_cos: float = 0.96
+    spatial_depth_reject: float = 0.1
+    spatial_radius: float = 30.0
+    temporal_bias_correction: int = 0  # 0 none, 1 basic, 2 raytraced
+    spatial_bias_correction: int = 0
+    visibility_shade: bool = True
+
+
+class ReSTIRState(NamedTuple):
+    """Delayed (prev-frame) graph inputs."""
+
+    reservoirs: Reservoir  # finalized reservoirs of the previous frame
+    prev_normal: jnp.ndarray  # f32[N, 3]
+    prev_linear_z: jnp.ndarray  # f32[N]
+
+
+def init_restir_state(width: int, height: int) -> ReSTIRState:
+    n = width * height
+    return ReSTIRState(
+        reservoirs=rsv.reservoir_init(n),
+        prev_normal=jnp.zeros((n, 3)),
+        prev_linear_z=jnp.full((n,), 1e30),
+    )
+
+
+def target_pdf(y_pos, y_normal, y_radiance, surf: Hit):
+    """restir_di_target_pdf (restir_di_common.glsl:7-18)."""
+    d = y_pos - surf.pos
+    dist2 = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-12)
+    wo = d / jnp.sqrt(dist2)[..., None]
+    wodotn = linalg.dot(wo, surf.normal)
+    alpha = bsdf.roughness_to_alpha(surf.roughness)
+    f = bsdf.eval_times_cos(surf.wi, wo, surf.normal, alpha)
+    geo = jnp.maximum(linalg.dot(y_normal, -wo), 0.0) / dist2
+    p = geo * f * color_ops.yuv_luminance(y_radiance)
+    return jnp.where(wodotn > 0.0, p, 0.0)
+
+
+def _reproj_valid(n_a, n_b, cos_thresh, z_a, vel_z, z_b, reject):
+    """merian-shaders/reprojection.glsl-style validity gate."""
+    n_ok = linalg.dot(n_a, n_b) >= cos_thresh
+    z_ok = jnp.abs(z_b - (z_a + vel_z)) <= reject * jnp.maximum(
+        jnp.maximum(z_a, z_b), 1e-3
+    )
+    return n_ok & z_ok
+
+
+def _seed(px, py, frame, pass_idx, seed):
+    return rng_ops.seed_pixel(px, py, frame * jnp.uint32(4) + jnp.uint32(pass_idx), seed)
+
+
+def render_restir(
+    accel: AccelScene,
+    atlas: TextureAtlas,
+    uniforms: Uniforms,
+    config: RenderConfig,
+    rcfg: ReSTIRConfig,
+    rstate: ReSTIRState,
+    gbuf: GBufferOutput,
+):
+    """Full-frame ReSTIR DI. Returns (irradiance[H,W,4], new ReSTIRState)."""
+    W, H = config.width, config.height
+    n = W * H
+    px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
+    pxf, pyf = px.reshape(-1), py.reshape(-1)
+
+    surf = decompress_hit(gbuf.hits)
+    pixel_live = (surf.albedo >= 1e-7).any(axis=-1)
+    normal = gbuf.normal.reshape(-1, 3)
+    linear_z = gbuf.linear_z.reshape(-1)
+    vel_z = gbuf.z_vel.reshape(-1)
+
+    # ---------- pass 1: generate (BSDF candidates) ----------
+    rng = _seed(pxf, pyf, uniforms.frame, 0, config.seed)
+    r = rsv.reservoir_init(n)
+    for _ in range(rcfg.spp):
+        rng, u3 = rng_ops.uniform3(rng)
+        alpha = bsdf.roughness_to_alpha(surf.roughness)
+        wo = bsdf.sample(surf.wi, surf.normal, alpha, u3)
+        wodotn = linalg.dot(wo, surf.normal)
+        ok = (
+            pixel_live
+            & (wodotn > 1e-3)
+            & (linalg.dot(wo, surf.geo_normal) > 1e-3)
+        )
+        origin = surf.pos - surf.wi * 1e-3
+        res = trace_ray(accel, atlas, uniforms, origin, wo)
+        nh = res.hit
+        d2 = jnp.maximum(jnp.sum(jnp.square(nh.pos - surf.pos), -1), 1e-12)
+        geo = jnp.maximum(linalg.dot(nh.normal, -wo), 0.0) / d2
+        p_sample = geo * bsdf.pdf(surf.wi, wo, surf.normal, alpha)
+        p_tgt = target_pdf(nh.pos, nh.normal, res.contribution, surf)
+        rng, r, _ = rsv.add_sample(
+            r,
+            rng,
+            ok & (p_sample > 0.0),
+            nh.pos,
+            nh.normal,
+            (nh.pos - nh.prev_pos) / uniforms.time_diff,
+            jnp.full((n,), uniforms.cl_time),
+            res.contribution,
+            jnp.full((n,), rsv.FLAG_VALID, jnp.uint32),
+            p_sample,
+            p_tgt,
+        )
+    r = rsv.finalize(r)
+
+    # ---------- pass 2: temporal reuse ----------
+    rng = _seed(pxf, pyf, uniforms.frame, 1, config.seed)
+    cur = r
+    r = rsv.reservoir_init(n)
+    rng, r, _ = rsv.combine_finalized(r, rng, cur, cur.p_target)
+
+    mv = gbuf.mv.reshape(-1, 2)
+    ppx = jnp.round(pxf.astype(jnp.float32) + mv[:, 0]).astype(jnp.int32)
+    ppy = jnp.round(pyf.astype(jnp.float32) + mv[:, 1]).astype(jnp.int32)
+    inb = (ppx >= 0) & (ppx < W) & (ppy >= 0) & (ppy < H)
+    pidx = jnp.clip(ppy, 0, H - 1) * W + jnp.clip(ppx, 0, W - 1)
+
+    prev_n = jnp.take(rstate.prev_normal, pidx, axis=0)
+    prev_z = jnp.take(rstate.prev_linear_z, pidx)
+    tvalid = (
+        inb
+        & (uniforms.frame > 0)
+        & _reproj_valid(
+            normal, prev_n, rcfg.temporal_normal_reject_cos,
+            linear_z, vel_z, prev_z, rcfg.temporal_depth_reject,
+        )
+    )
+    prev = Reservoir(*[jnp.take(x, pidx, axis=0) for x in rstate.reservoirs])
+    if rcfg.apply_mv:
+        dt = (uniforms.cl_time - prev.y_T)[..., None]
+        prev = prev._replace(
+            y_pos=prev.y_pos + prev.y_mv * dt,
+            y_T=jnp.full((n,), uniforms.cl_time),
+        )
+    if rcfg.temporal_clamp_m > 0:
+        prev = prev._replace(M=jnp.minimum(prev.M, rcfg.temporal_clamp_m))
+    p_tgt_prev = target_pdf(prev.y_pos, prev.y_normal, prev.y_radiance, surf)
+    rng, combined, sel_prev = rsv.combine_finalized(
+        r, rng, prev, p_tgt_prev, mask=tvalid
+    )
+    # lanes that early-return in the reference keep the current-only
+    # reservoir (finalized below with M from `cur` only)
+    if rcfg.temporal_bias_correction == 0:
+        out = rsv.finalize(combined)
+    else:
+        pi = combined.p_target
+        pi_sum = combined.p_target * cur.M.astype(jnp.float32)
+        prev_surf = Hit(*[jnp.take(x, pidx, axis=0) for x in surf])
+        temporal_p = target_pdf(
+            combined.y_pos, combined.y_normal, combined.y_radiance, prev_surf
+        )
+        if rcfg.temporal_bias_correction == 2:
+            from ...accel.intersect import trace_visibility
+
+            vis = trace_visibility(accel, atlas, surf.pos, combined.y_pos)
+            temporal_p = jnp.where(vis, temporal_p, 0.0)
+        temporal_p = jnp.where(tvalid, temporal_p, 0.0)
+        pi = jnp.where(sel_prev, temporal_p, pi)
+        pi_sum = pi_sum + temporal_p * prev.M.astype(jnp.float32)
+        out = rsv.finalize_custom(combined, pi, pi_sum)
+    r = out
+
+    # boiling filter: per-8×8-tile mean (the reference's subgroup ==
+    # its 8×8 workgroup, restir_di_temporal_reuse.comp:39-70)
+    if rcfg.boiling_filter_strength > 1e-6:
+        mult = 10.0 / rcfg.boiling_filter_strength - 9.0
+        wimg = r.w.reshape(H, W)
+        th, tw = H // 8, W // 8
+        tiles = wimg[: th * 8, : tw * 8].reshape(th, 8, tw, 8)
+        cnt = (tiles > 0).sum((1, 3)).astype(jnp.float32)
+        mean = tiles.sum((1, 3)) / jnp.maximum(cnt, 1.0)
+        mean_full = jnp.repeat(jnp.repeat(mean, 8, 0), 8, 1)
+        pad_h, pad_w = H - th * 8, W - tw * 8
+        mean_full = jnp.pad(mean_full, ((0, pad_h), (0, pad_w)), mode="edge")
+        boiling = r.w > mean_full.reshape(-1) * mult
+        r = rsv.discard(r, boiling)
+
+    # ---------- pass 3: spatial reuse ----------
+    rng = _seed(pxf, pyf, uniforms.frame, 2, config.seed)
+    spatial_in = r
+    r = rsv.reservoir_init(n)
+    rng, r, _ = rsv.combine_finalized(r, rng, spatial_in, spatial_in.p_target)
+    neighbors = []
+    sel_idx = jnp.full((n,), -1, jnp.int32)
+    for i in range(rcfg.spatial_reuse_iterations):
+        rng, u2 = rng_ops.uniform2(rng)
+        nx = jnp.round(
+            pxf.astype(jnp.float32) + rcfg.spatial_radius * (2 * u2[:, 0] - 1)
+        ).astype(jnp.int32)
+        ny = jnp.round(
+            pyf.astype(jnp.float32) + rcfg.spatial_radius * (2 * u2[:, 1] - 1)
+        ).astype(jnp.int32)
+        inb_s = (nx >= 0) & (nx < W) & (ny >= 0) & (ny < H)
+        nidx = jnp.clip(ny, 0, H - 1) * W + jnp.clip(nx, 0, W - 1)
+        nvalid = inb_s & _reproj_valid(
+            normal,
+            jnp.take(normal, nidx, axis=0),
+            rcfg.spatial_normal_reject_cos,
+            linear_z,
+            vel_z,
+            jnp.take(linear_z, nidx),
+            rcfg.spatial_depth_reject,
+        )
+        nb = Reservoir(*[jnp.take(x, nidx, axis=0) for x in spatial_in])
+        p_tgt_nb = target_pdf(nb.y_pos, nb.y_normal, nb.y_radiance, surf)
+        rng, r, took = rsv.combine_finalized(r, rng, nb, p_tgt_nb, mask=nvalid)
+        sel_idx = jnp.where(took, i, sel_idx)
+        neighbors.append((nidx, nvalid, nb.M))
+    if rcfg.spatial_bias_correction == 0 or rcfg.spatial_reuse_iterations == 0:
+        r = rsv.finalize(r)
+    else:
+        pi = r.p_target
+        pi_sum = r.p_target * spatial_in.M.astype(jnp.float32)
+        for i, (nidx, nvalid, nb_m) in enumerate(neighbors):
+            nb_surf = Hit(*[jnp.take(x, nidx, axis=0) for x in surf])
+            sp = target_pdf(r.y_pos, r.y_normal, r.y_radiance, nb_surf)
+            if rcfg.spatial_bias_correction == 2:
+                from ...accel.intersect import trace_visibility
+
+                vis = trace_visibility(accel, atlas, nb_surf.pos, r.y_pos)
+                sp = jnp.where(vis, sp, 0.0)
+            sp = jnp.where(nvalid, sp, 0.0)
+            pi = jnp.where(sel_idx == i, sp, pi)
+            pi_sum = pi_sum + sp * nb_m.astype(jnp.float32)
+        r = rsv.finalize_custom(r, pi, pi_sum)
+
+    # ---------- pass 4: shade ----------
+    yvalid = rsv.valid(r) & pixel_live
+    d = r.y_pos - surf.pos
+    dist_y = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-12))
+    wo = d / dist_y[..., None]
+    origin = surf.pos - surf.wi * 1e-3
+    res = trace_ray(accel, atlas, uniforms, origin, wo)
+    if rcfg.visibility_shade:
+        dist_hit = linalg.distance(surf.pos, res.hit.pos)
+        rel = jnp.abs(dist_y - dist_hit) / jnp.maximum(
+            jnp.maximum(dist_y, dist_hit), 1e-6
+        )
+        occluded = yvalid & (rel > 0.1)
+        r = rsv.discard(r, occluded)
+        yvalid = yvalid & ~occluded
+    alpha = bsdf.roughness_to_alpha(surf.roughness)
+    micro = bsdf.eval_times_cos(surf.wi, wo, surf.normal, alpha)
+    w_ok = jnp.isfinite(r.w)
+    irr = jnp.where(
+        (yvalid & w_ok)[..., None],
+        micro[..., None]
+        * r.y_radiance
+        * r.w[..., None]
+        * (jnp.maximum(linalg.dot(r.y_normal, -wo), 0.0) / jnp.square(dist_y))[
+            ..., None
+        ],
+        0.0,
+    )
+    lum = color_ops.yuv_luminance(irr)
+    img = jnp.concatenate([irr, (lum * lum)[..., None]], -1).reshape(H, W, 4)
+
+    new_state = ReSTIRState(
+        reservoirs=r, prev_normal=normal, prev_linear_z=linear_z
+    )
+    return img, new_state
