@@ -58,7 +58,7 @@ def main(argv=None) -> int:
     pr.add_argument("--spp", type=int, default=1)
     pr.add_argument("--frames", type=int, default=1)
     pr.add_argument("--max-path-length", type=int, default=3)
-    pr.add_argument("--integrator", default="pt", choices=["pt", "mcpg", "restir"])
+    pr.add_argument("--integrator", default="pt", choices=["pt", "mcpg", "restir", "ssmm"])
     pr.add_argument("--denoise", action="store_true", help="SVGF+TAA+FXAA")
     pr.add_argument("--seed", type=int, default=1337)
     pr.add_argument("--out", default="/tmp/mq_tpu_render.png")

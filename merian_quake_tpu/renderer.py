@@ -39,6 +39,7 @@ class FrameState(NamedTuple):
     iteration: jnp.ndarray  # i32[]
     mcpg: object = None  # MCPGState when integrator == "mcpg"
     restir: object = None  # ReSTIRState when integrator == "restir"
+    ssmm: object = None  # SSMMState when integrator == "ssmm"
     svgf: object = None  # SVGFState when config.denoise
     taa_prev: object = None  # f32[H, W, 3] previous LDR (TAA history)
 
@@ -47,6 +48,7 @@ def init_state(config: RenderConfig, mcpg_config=None) -> FrameState:
     H, W = config.height, config.width
     mcpg_state = None
     restir_state = None
+    ssmm_state = None
     if config.integrator == "mcpg":
         from .render.mcpg import MCPGConfig, init_mcpg_state
 
@@ -55,6 +57,10 @@ def init_state(config: RenderConfig, mcpg_config=None) -> FrameState:
         from .render.restir import init_restir_state
 
         restir_state = init_restir_state(W, H)
+    elif config.integrator == "ssmm":
+        from .render.ssmm import init_ssmm_state
+
+        ssmm_state = init_ssmm_state(W, H)
     svgf_state = None
     taa_prev = None
     if config.denoise:
@@ -69,6 +75,7 @@ def init_state(config: RenderConfig, mcpg_config=None) -> FrameState:
         iteration=jnp.zeros((), jnp.int32),
         mcpg=mcpg_state,
         restir=restir_state,
+        ssmm=ssmm_state,
         svgf=svgf_state,
         taa_prev=taa_prev,
     )
@@ -91,6 +98,7 @@ def frame_core(
     gbuf = render_gbuffer(accel, atlas, uniforms, config, y0=y0, rows=rows)
     new_mcpg = state.mcpg
     new_restir = state.restir
+    new_ssmm = state.ssmm
     if config.integrator == "mcpg":
         from .render.mcpg import apply_updates
         from .render.mcpg.surface import render_mcpg_surface
@@ -123,6 +131,19 @@ def frame_core(
             state.restir,
             gbuf,
         )
+    elif config.integrator == "ssmm":
+        from .render.ssmm import SSMMConfig, render_ssmm
+
+        assert rows == config.height, "ssmm neighborhood reads need full frame"
+        irr, new_ssmm = render_ssmm(
+            accel,
+            atlas,
+            uniforms,
+            config,
+            mcpg_config or SSMMConfig(),
+            state.ssmm,
+            gbuf,
+        )
     else:
         irr = render_pt(accel, atlas, uniforms, config, gbuf, y0=y0, rows=rows)
     new_state = FrameState(
@@ -134,6 +155,7 @@ def frame_core(
         iteration=state.iteration + 1,
         mcpg=new_mcpg,
         restir=new_restir,
+        ssmm=new_ssmm,
     )
     # beauty path (reference wiring, default_config.json:3-372):
     # renderer irradiance → accumulate → SVGF(+albedo remodulate) →
@@ -211,6 +233,10 @@ def render_sequence(
             from .render.restir import ReSTIRConfig
 
             mcpg_config = ReSTIRConfig()
+        elif config.integrator == "ssmm":
+            from .render.ssmm import SSMMConfig
+
+            mcpg_config = SSMMConfig()
     accel = build_accel(bundle.scene, bundle.atlas)
     state = init_state(config, mcpg_config)
     uniforms = bundle.uniforms
