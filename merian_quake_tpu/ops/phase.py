@@ -68,11 +68,15 @@ def draine_inverse_cdf_table(g, alpha, size=DRAINE_TABLE_SIZE):
     """
     import numpy as np
 
+    g = float(g)
+    alpha = float(alpha)
     n_fine = 1 << 14
     cos_grid = np.linspace(-1.0, 1.0, n_fine, dtype=np.float64)
-    p = np.asarray(
-        draine_pdf(jnp.asarray(cos_grid, jnp.float32), g, alpha), np.float64
-    )
+    # pure-numpy Draine pdf (host-side: g/alpha are static per frame)
+    denom = np.maximum(1.0 + g * g - 2.0 * g * cos_grid, 1e-12)
+    hg = (1.0 - g * g) / (4.0 * np.pi * np.power(denom, 1.5))
+    norm_d = 1.0 + alpha * (1.0 + 2.0 * g * g) / 3.0
+    p = hg * (1.0 + alpha * cos_grid * cos_grid) / norm_d
     # CDF over cos via trapezoid; normalized (pdf integrates over sphere
     # to 1 => over cos with 2*pi azimuth factor).
     cdf = np.concatenate([[0.0], np.cumsum((p[1:] + p[:-1]) * 0.5 * np.diff(cos_grid))])

@@ -49,6 +49,8 @@ class MCPGConfig(NamedTuple):
     # (mc_state_kappa, mc.glsl:43-46); on this implementation moderate
     # caps measurably reduce guided-MIS variance (see test sweep).
     kappa_max: float = 30.0
+    # volume single scattering (None = surface only); see volume.py
+    volume: object = None
 
     @property
     def mc_total_size(self) -> int:

@@ -1,0 +1,458 @@
+"""Single-scattering fog with distance + direction guiding.
+
+Port of res/shader/render_mcpg/volume.comp, mc_distance.glsl and
+volume_forward_project.comp: per screen-tile Gaussian mixtures over
+camera-ray scatter distance (reservoir-selected, defensively mixed with
+truncated transmittance sampling), scatter directions guided by the
+SAME surface MC grids (normal = -view direction) mixed with the Draine
+phase function (particle-size parameterized, render_mcpg.cpp:134-135),
+and scatter-style forward projection of last frame's expected scatter
+depth into volume motion vectors.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...accel.build import AccelScene
+from ...models.types import RenderConfig, TextureAtlas, Uniforms
+from ...ops import (
+    camera as cam_ops,
+    color as color_ops,
+    linalg,
+    phase as phase_ops,
+    rng as rng_ops,
+    transmittance as trans_ops,
+    vmf,
+)
+from ..gbuffer import GBufferOutput
+from ..trace import trace_ray
+from . import grids
+from .config import MCPGConfig, MCPGState
+from .light_cache import lc_get
+from .surface import LCQueue, SurfaceResult, UpdateQueue, ZeroQueue
+
+DIST_ML_MAX_N = 1024
+DIST_ML_MIN_ALPHA = 0.01
+
+
+class VolumeConfig(NamedTuple):
+    """Volume knobs (render_mcpg.hpp:113-166)."""
+
+    volume_spp: int = 1
+    volume_phase_p: float = 0.3
+    dist_guide_p: float = 0.0
+    distance_mc_samples: int = 3
+    distance_grid_width: int = 25  # pixels per distance-MC tile
+    distance_state_count: int = 10
+    volume_use_light_cache: bool = False
+    particle_size_um: float = 25.0
+    forward_project: bool = True
+
+    @property
+    def draine_g(self) -> float:
+        import math
+
+        return math.exp(-2.20679 / (self.particle_size_um + 3.91029) - 0.428934)
+
+    @property
+    def draine_a(self) -> float:
+        import math
+
+        return math.exp(3.62489 - 8.29288 / (self.particle_size_um + 5.52825))
+
+
+class DistanceMC(NamedTuple):
+    """DistanceMCState SoA: [tiles, state_count] (grid.h:48-58)."""
+
+    sum_w: jnp.ndarray  # f32[C, K]
+    N: jnp.ndarray  # i32[C, K]
+    moments: jnp.ndarray  # f32[C, K, 2]
+
+
+class VolumeState(NamedTuple):
+    dist_mc: DistanceMC
+    volume_depth: jnp.ndarray  # f32[H, W] expected scatter distance
+    prev_volume_depth: jnp.ndarray  # f32[H, W]
+
+
+def _tile_count(config: RenderConfig, vcfg: VolumeConfig) -> int:
+    gx = config.width // vcfg.distance_grid_width + 2
+    gy = config.height // vcfg.distance_grid_width + 2
+    return gx * gy
+
+
+def init_volume_state(config: RenderConfig, vcfg: VolumeConfig) -> VolumeState:
+    c = _tile_count(config, vcfg)
+    k = vcfg.distance_state_count
+    return VolumeState(
+        dist_mc=DistanceMC(
+            sum_w=jnp.zeros((c, k)),
+            N=jnp.zeros((c, k), jnp.int32),
+            moments=jnp.zeros((c, k, 2)),
+        ),
+        volume_depth=jnp.zeros((config.height, config.width)),
+        prev_volume_depth=jnp.zeros((config.height, config.width)),
+    )
+
+
+def _dist_tile_idx(rng, pxf, pyf, config, vcfg):
+    """Stochastic-interpolated 2D tile index + random slot."""
+    gw = float(vcfg.distance_grid_width)
+    gx = config.width // vcfg.distance_grid_width + 2
+    rng, u2 = rng_ops.uniform2(rng)
+    ix = jnp.floor(pxf / gw - 0.5 + u2[:, 0]).astype(jnp.int32) + 1
+    iy = jnp.floor(pyf / gw - 0.5 + u2[:, 1]).astype(jnp.int32) + 1
+    tile = jnp.clip(iy, 0, config.height // vcfg.distance_grid_width + 1) * gx + jnp.clip(
+        ix, 0, gx - 1
+    )
+    rng, u = rng_ops.uniform(rng)
+    slot = jnp.minimum(
+        (u * vcfg.distance_state_count).astype(jnp.int32),
+        vcfg.distance_state_count - 1,
+    )
+    return rng, tile, slot
+
+
+def _normal_dist(sum_w, n, moments):
+    """(mu, sigma) with the N-prior regularizer (mc_distance.glsl:11-17)."""
+    m = moments / jnp.where(sum_w > 0.0, sum_w, 1.0)[..., None]
+    sigma = jnp.sqrt(jnp.maximum(m[..., 1] - jnp.square(m[..., 0]), 0.0))
+    n2 = (n * n).astype(jnp.float32)
+    sigma = (n2 * sigma + 0.2) / (n2 + 0.2)
+    return m[..., 0], sigma
+
+
+def _normal_pdf(mu, sigma, t):
+    s = jnp.maximum(sigma, 1e-4)
+    return jnp.exp(-0.5 * jnp.square((t - mu) / s)) / (s * jnp.sqrt(2.0 * jnp.pi))
+
+
+def render_volume(
+    accel: AccelScene,
+    atlas: TextureAtlas,
+    uniforms: Uniforms,
+    config: RenderConfig,
+    mcfg: MCPGConfig,
+    vcfg: VolumeConfig,
+    mstate: MCPGState,
+    vstate: VolumeState,
+    gbuf: GBufferOutput,
+):
+    """One volume pass. Returns (volume img [H,W,4], new VolumeState,
+    extra SurfaceResult whose queues feed apply_updates)."""
+    W, H = config.width, config.height
+    n = W * H
+    K = mcfg.mc_samples
+    DK = vcfg.distance_mc_samples
+    cam_x = uniforms.cam_x
+
+    px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
+    pxf = px.reshape(-1).astype(jnp.float32)
+    pyf = py.reshape(-1).astype(jnp.float32)
+    rng = rng_ops.seed_pixel(
+        px.reshape(-1), py.reshape(-1), uniforms.frame, config.seed + 101
+    )
+
+    linear_z = gbuf.linear_z.reshape(-1)
+    first_n = gbuf.normal.reshape(-1, 3)
+    first_wi = cam_ops.ray_dir(
+        pxf, pyf, W, H, uniforms.cam_u, uniforms.cam_w, uniforms.fov_tan_half
+    )
+
+    # volume motion vectors: forward-projected prev scatter depth
+    vol_mv = _forward_project(gbuf.mv, vstate.prev_volume_depth, uniforms, config)
+    mv_flat = vol_mv.reshape(-1, 2)
+
+    dmc = vstate.dist_mc
+    max_t_pix = jnp.minimum(linear_z, uniforms.volume_max_t)
+
+    irr_acc = jnp.zeros((n, 3))
+    m2_acc = jnp.zeros((n,))
+    lcq_all, upq_all, zq_all = [], [], []
+    expected_depth = linear_z
+
+    for s in range(vcfg.volume_spp):
+        # ---- camera-distance sampling ----
+        xi_max = trans_ops.xi_max(uniforms.mu_t, max_t_pix)
+        score_sum_d = jnp.zeros((n,))
+        t_sel = jnp.zeros((n,))
+        win_slotted = (jnp.zeros((n,)), jnp.zeros((n,), jnp.int32), jnp.zeros((n, 2)))
+        mus, sigmas, dscores = [], [], []
+        for i in range(DK):
+            if s == 0:
+                lpx = jnp.clip(pxf + mv_flat[:, 0], 0.0, W - 1.0)
+                lpy = jnp.clip(pyf + mv_flat[:, 1], 0.0, H - 1.0)
+            else:
+                lpx, lpy = pxf, pyf
+            rng, tile, slot = _dist_tile_idx(rng, lpx, lpy, config, vcfg)
+            sw = dmc.sum_w[tile, slot]
+            nn = dmc.N[tile, slot]
+            mm = dmc.moments[tile, slot]
+            mu_i, sg_i = _normal_dist(sw, nn, mm)
+            if s == 0:
+                # camera-velocity corrected (volume.comp:74-76)
+                mu_i = mu_i - linalg.dot(cam_x - uniforms.prev_cam_x, first_wi)
+            sc = sw * (sw > 0.0) * (mu_i < linear_z)
+            score_sum_d = score_sum_d + sc
+            rng, u = rng_ops.uniform(rng)
+            take = u < sc / score_sum_d  # NaN false
+            rng, u2 = rng_ops.uniform2(rng)
+            # Box-Muller normal sample
+            r0 = jnp.sqrt(-2.0 * jnp.log(jnp.maximum(u2[:, 0], 1e-12)))
+            t_norm = mu_i + sg_i * r0 * jnp.cos(2.0 * jnp.pi * u2[:, 1])
+            t_sel = jnp.where(take, t_norm, t_sel)
+            win_slotted = (
+                jnp.where(take, sw, win_slotted[0]),
+                jnp.where(take, nn, win_slotted[1]),
+                jnp.where(take[..., None], mm, win_slotted[2]),
+            )
+            mus.append(mu_i)
+            sigmas.append(sg_i)
+            dscores.append(sc)
+
+        rng, u_g = rng_ops.uniform(rng)
+        use_trans = (u_g >= vcfg.dist_guide_p) | (score_sum_d == 0.0)
+        rng, u_t = rng_ops.uniform(rng)
+        t_trans = trans_ops.sample(u_t * xi_max, uniforms.mu_t, max_t_pix)
+        t = jnp.where(use_trans, t_trans, t_sel)
+        bad_guided = (~use_trans) & ((t >= max_t_pix) | (t <= 0.0))
+        sample_ok = ~bad_guided & (xi_max > 0.0)
+
+        p_dist = jnp.zeros((n,))
+        for mu_i, sg_i, sc in zip(mus, sigmas, dscores):
+            p_dist = p_dist + sc * _normal_pdf(mu_i, sg_i, t)
+        has_d = score_sum_d > 0.0
+        p_dist = jnp.where(has_d, p_dist / jnp.where(has_d, score_sum_d, 1.0), 0.0)
+        p = (
+            jnp.where(has_d, 1.0 - vcfg.dist_guide_p, 1.0)
+            * trans_ops.pdf(t, uniforms.mu_t, max_t_pix)
+            + vcfg.dist_guide_p * p_dist
+        )
+
+        pos = cam_x + t[..., None] * first_wi
+        vnormal = -first_wi
+
+        # ---- guided direction sampling (same MC grids) ----
+        score_sum = jnp.zeros((n,))
+        gmus, gkaps, gscores = [], [], []
+        rng, win = grids.new_state(rng)
+        win_buf = jnp.full((n,), -1, jnp.int32)
+        for _ in range(K):
+            rng, u_grid = rng_ops.uniform(rng)
+            adaptive = u_grid < mcfg.mc_samples_adaptive_prob
+            rng, abuf, ahash = grids.adaptive_cell(rng, pos, vnormal, cam_x, mcfg)
+            rng, sbuf, shash = grids.static_cell(rng, pos, mcfg)
+            buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
+            st = grids.gather_state(mstate.mc, buf)
+            st_a = grids.finalize_load(st, ahash, uniforms.cl_time)
+            st_s = grids.finalize_load(st, shash, uniforms.cl_time)
+            sel = lambda m, a, b: grids.StateSample(
+                *[
+                    jnp.where(m[..., None] if x.ndim > 1 else m, x, y)
+                    for x, y in zip(a, b)
+                ]
+            )
+            st = sel(adaptive, st_a, st_s)
+            score_sum = score_sum + st.sum_w
+            rng, u_res = rng_ops.uniform(rng)
+            take = u_res < st.sum_w / score_sum
+            win = sel(take, st, win)
+            win_buf = jnp.where(take, buf, win_buf)
+            mu_g, kap_g = grids.state_vmf(st, pos, mcfg)
+            gmus.append(mu_g)
+            gkaps.append(kap_g)
+            gscores.append(st.sum_w)
+
+        have_guide = score_sum > 0.0
+        rng, u_p = rng_ops.uniform(rng)
+        use_phase = (~have_guide) | (u_p < vcfg.volume_phase_p)
+        rng, u_ph = rng_ops.uniform(rng)
+        cos_t = phase_ops.draine_sample_cos(u_ph, vcfg.draine_g, vcfg.draine_a)
+        rng, u_az = rng_ops.uniform(rng)
+        wo_phase = phase_ops.sample_dir(first_wi, cos_t, u_az)
+        win_mu, win_kap = grids.state_vmf(win, pos, mcfg)
+        rng, u2 = rng_ops.uniform2(rng)
+        wo_vmf = vmf.sample(win_mu, win_kap, u2)
+        wo = jnp.where(use_phase[..., None], wo_phase, wo_vmf)
+        rng, fresh = grids.new_state(rng)
+        selst = lambda m, a, b: grids.StateSample(
+            *[
+                jnp.where(m[..., None] if x.ndim > 1 else m, x, y)
+                for x, y in zip(a, b)
+            ]
+        )
+        mc_state = selst(use_phase, fresh, win)
+        mc_idx = jnp.where(use_phase, -1, win_buf)
+
+        guided_p = jnp.zeros((n,))
+        for mu_g, kap_g, sc_g in zip(gmus, gkaps, gscores):
+            guided_p = guided_p + sc_g * vmf.pdf(wo, mu_g, kap_g)
+        guided_p = jnp.where(
+            have_guide, guided_p / jnp.where(have_guide, score_sum, 1.0), 0.0
+        )
+        phase_pdf = phase_ops.draine_pdf(
+            linalg.dot(first_wi, wo), vcfg.draine_g, vcfg.draine_a
+        )
+        wo_p = (
+            jnp.where(have_guide, vcfg.volume_phase_p, 1.0) * phase_pdf
+            + (1.0 - vcfg.volume_phase_p) * guided_p
+        )
+        p = p * wo_p
+
+        # ---- trace from the scatter point ----
+        res = trace_ray(accel, atlas, uniforms, pos, wo)
+        incident = res.contribution
+        if vcfg.volume_use_light_cache:
+            rng, lc_irr = lc_get(
+                rng, mstate.lc, res.hit.pos, res.hit.normal, cam_x, mcfg
+            )
+            no_inc = ~(incident > 0.0).any(axis=-1)
+            incident = jnp.where(
+                no_inc[..., None], res.throughput * lc_irr, incident
+            )
+
+        contrib = (
+            incident
+            * phase_pdf[..., None]
+            * uniforms.mu_s
+            * trans_ops.transmittance(t, uniforms.mu_t, uniforms.volume_max_t)[
+                ..., None
+            ]
+            / jnp.maximum(p, 1e-30)[..., None]
+        )
+        ok = sample_ok & jnp.isfinite(contrib).all(axis=-1)
+        contrib = jnp.where(ok[..., None], contrib, 0.0)
+        irr_acc = irr_acc + contrib
+        l = color_ops.yuv_luminance(contrib)
+        m2_acc = m2_acc + l * l
+
+        # ---- distance MC update ----
+        nw = jnp.minimum(win_slotted[1] + 1, DIST_ML_MAX_N)
+        al = jnp.maximum(1.0 / jnp.maximum(nw, 1), DIST_ML_MIN_ALPHA)
+        new_sw = win_slotted[0] + (l - win_slotted[0]) * al
+        new_mm = win_slotted[2] + (
+            l[..., None] * jnp.stack([t, t * t], -1) - win_slotted[2]
+        ) * al[..., None]
+        if s == vcfg.volume_spp - 1:
+            exp_d = jnp.where(
+                new_sw > 0.0, new_mm[..., 0] / jnp.maximum(new_sw, 1e-20), linear_z
+            )
+            expected_depth = jnp.where(ok, exp_d, linear_z)
+        rng, u_save = rng_ops.uniform(rng)
+        save = ok & (u_save < l / (score_sum_d / DK))  # NaN false
+        rng, tile_s, slot_s = _dist_tile_idx(rng, pxf, pyf, config, vcfg)
+        C = dmc.sum_w.shape[0]
+        flat = tile_s * vcfg.distance_state_count + slot_s
+        flat = jnp.where(save, flat, C * vcfg.distance_state_count)
+        dmc = DistanceMC(
+            sum_w=dmc.sum_w.reshape(-1).at[flat].set(new_sw, mode="drop").reshape(
+                dmc.sum_w.shape
+            ),
+            N=dmc.N.reshape(-1).at[flat].set(nw, mode="drop").reshape(dmc.N.shape),
+            moments=dmc.moments.reshape(-1, 2)
+            .at[flat]
+            .set(new_mm, mode="drop")
+            .reshape(dmc.moments.shape),
+        )
+
+        # ---- direction MC update (jittered normal around -wi) ----
+        mc_f = color_ops.yuv_luminance(
+            phase_pdf[..., None] * incident / jnp.maximum(wo_p, 1e-30)[..., None]
+        )
+        rng, u_acc = rng_ops.uniform(rng)
+        accept = ok & (u_acc < mc_f / (score_sum / K))  # NaN false
+        rng, u_cos = rng_ops.uniform2(rng)
+        jit_n = linalg.sample_cos(-first_wi, u_cos)
+        rng, fb_buf, _ = grids.adaptive_cell(rng, pos, jit_n, cam_x, mcfg)
+        up_cell = jnp.where(mc_idx >= 0, mc_idx, fb_buf.astype(jnp.int32))
+        missing = grids.light_missing(mc_state, mc_f, wo, pos, mcfg)
+        zero_mask = (
+            ok & ~accept & (mc_idx >= 0) & missing & bool(mcfg.mc_fast_recovery)
+        )
+        upq_all.append(
+            UpdateQueue(
+                cell=up_cell,
+                id=mc_state.id,
+                w=mc_f,
+                target=res.hit.pos,
+                mv=(res.hit.pos - res.hit.prev_pos) / uniforms.time_diff,
+                pos=pos,
+                normal=jit_n,
+                mask=accept & jnp.isfinite(mc_f),
+            )
+        )
+        zq_all.append(ZeroQueue(cell=jnp.maximum(mc_idx, 0), mask=zero_mask))
+        lcq_all.append(
+            LCQueue(
+                pos=pos,
+                normal=jit_n,
+                irr=jnp.zeros((n, 3)),
+                mask=jnp.zeros((n,), bool),
+            )
+        )
+
+    spp = max(vcfg.volume_spp, 1)
+    img = jnp.concatenate(
+        [irr_acc / spp, (m2_acc / spp)[..., None]], axis=-1
+    ).reshape(H, W, 4)
+
+    cat = lambda parts: jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
+    extra = SurfaceResult(
+        irradiance=img,
+        updates=cat(upq_all),
+        lc_samples=cat(lcq_all),
+        zeros=cat(zq_all),
+    )
+    new_vstate = VolumeState(
+        dist_mc=dmc,
+        volume_depth=expected_depth.reshape(H, W),
+        prev_volume_depth=expected_depth.reshape(H, W),
+    )
+    return img, new_vstate, extra
+
+
+def _forward_project(surface_mv, prev_volume_depth, uniforms: Uniforms, config):
+    """volume_forward_project.comp: scatter prev volume depth into this
+    frame's pixels to produce volume motion vectors (defaults to the
+    surface MVs where no projection lands)."""
+    H, W = prev_volume_depth.shape
+    py, px = jnp.meshgrid(
+        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(W, dtype=jnp.float32),
+        indexing="ij",
+    )
+    prev_wi = cam_ops.ray_dir(
+        px.reshape(-1),
+        py.reshape(-1),
+        W,
+        H,
+        uniforms.prev_cam_u,
+        uniforms.prev_cam_w,
+        uniforms.fov_tan_half,
+    )
+    prev_pos = uniforms.prev_cam_x + prev_wi * prev_volume_depth.reshape(-1, 1)
+    npx, npy, dz = cam_ops.project(
+        prev_pos - uniforms.cam_x, W, H, uniforms.cam_u, uniforms.cam_w,
+        uniforms.fov_tan_half,
+    )
+    nx = jnp.round(npx).astype(jnp.int32)
+    ny = jnp.round(npy).astype(jnp.int32)
+    ok = (
+        (nx >= 0)
+        & (nx < W)
+        & (ny >= 0)
+        & (ny < H)
+        & (prev_volume_depth.reshape(-1) >= 50.0)
+        & (dz > 0)
+    )
+    flat_new = jnp.where(ok, ny * W + nx, H * W)
+    mv_x = px.reshape(-1) - npx
+    mv_y = py.reshape(-1) - npy
+    out = surface_mv.reshape(-1, 2)
+    out = out.at[flat_new].set(
+        jnp.stack([mv_x, mv_y], -1), mode="drop"
+    )
+    return out.reshape(H, W, 2)

@@ -38,6 +38,8 @@ class FrameState(NamedTuple):
     accum_albedo: jnp.ndarray  # f32[H, W, 4]
     iteration: jnp.ndarray  # i32[]
     mcpg: object = None  # MCPGState when integrator == "mcpg"
+    volume: object = None  # VolumeState when mcpg volume is enabled
+    accum_volume: object = None  # f32[H, W, 4] accumulated volume radiance
     restir: object = None  # ReSTIRState when integrator == "restir"
     ssmm: object = None  # SSMMState when integrator == "ssmm"
     svgf: object = None  # SVGFState when config.denoise
@@ -49,10 +51,18 @@ def init_state(config: RenderConfig, mcpg_config=None) -> FrameState:
     mcpg_state = None
     restir_state = None
     ssmm_state = None
+    volume_state = None
+    accum_volume = None
     if config.integrator == "mcpg":
         from .render.mcpg import MCPGConfig, init_mcpg_state
 
-        mcpg_state = init_mcpg_state(mcpg_config or MCPGConfig())
+        mcpg_cfg = mcpg_config or MCPGConfig()
+        mcpg_state = init_mcpg_state(mcpg_cfg)
+        if mcpg_cfg.volume is not None:
+            from .render.mcpg.volume import init_volume_state
+
+            volume_state = init_volume_state(config, mcpg_cfg.volume)
+            accum_volume = jnp.zeros((H, W, 4))
     elif config.integrator == "restir":
         from .render.restir import init_restir_state
 
@@ -74,6 +84,8 @@ def init_state(config: RenderConfig, mcpg_config=None) -> FrameState:
         accum_albedo=jnp.zeros((H, W, 4)),
         iteration=jnp.zeros((), jnp.int32),
         mcpg=mcpg_state,
+        volume=volume_state,
+        accum_volume=accum_volume,
         restir=restir_state,
         ssmm=ssmm_state,
         svgf=svgf_state,
@@ -99,6 +111,8 @@ def frame_core(
     new_mcpg = state.mcpg
     new_restir = state.restir
     new_ssmm = state.ssmm
+    new_volume = state.volume
+    new_accum_volume = state.accum_volume
     if config.integrator == "mcpg":
         from .render.mcpg import apply_updates
         from .render.mcpg.surface import render_mcpg_surface
@@ -115,6 +129,27 @@ def frame_core(
             rows=rows,
         )
         irr = res.irradiance
+        if mcpg_config.volume is not None:
+            from .render.mcpg.volume import render_volume
+            from .render.mcpg.surface import SurfaceResult
+
+            vol_img, new_volume, vres = render_volume(
+                accel, atlas, uniforms, config, mcpg_config,
+                mcpg_config.volume, state.mcpg, state.volume, gbuf,
+            )
+            # merge volume guiding queues with the surface queues
+            cat = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.concatenate([x, y]), a, b
+            )
+            res = SurfaceResult(
+                irradiance=res.irradiance,
+                updates=cat(res.updates, vres.updates),
+                lc_samples=cat(res.lc_samples, vres.lc_samples),
+                zeros=cat(res.zeros, vres.zeros),
+            )
+            new_accum_volume = accumulate(
+                state.accum_volume, vol_img, state.iteration
+            )
         new_mcpg = apply_updates(
             jnp.uint32(config.seed), state.mcpg, res, uniforms, mcpg_config
         )
@@ -154,6 +189,8 @@ def frame_core(
         accum_albedo=accumulate(state.accum_albedo, gbuf.albedo, state.iteration),
         iteration=state.iteration + 1,
         mcpg=new_mcpg,
+        volume=new_volume,
+        accum_volume=new_accum_volume,
         restir=new_restir,
         ssmm=new_ssmm,
     )
@@ -176,6 +213,8 @@ def frame_core(
             gbuf.albedo[..., :3],
         )
         beauty_hdr = filtered + gbuf.irradiance[..., :3]
+        if new_state.accum_volume is not None:
+            beauty_hdr = beauty_hdr + new_state.accum_volume[..., :3]
         lum = color_ops.yuv_luminance(beauty_hdr)
         log_mean = mean_fn(jnp.mean(jnp.log(lum + 1e-4)))
         scale = 0.18 / jnp.maximum(jnp.exp(log_mean), 1e-4)
@@ -189,6 +228,8 @@ def frame_core(
             * jnp.maximum(new_state.accum_albedo[..., :3], 0.0)
             + new_state.accum_direct[..., :3]
         )
+        if new_state.accum_volume is not None:
+            beauty_hdr = beauty_hdr + new_state.accum_volume[..., :3]
         # auto exposure (key / log-average luminance, merian Exposure node)
         lum = color_ops.yuv_luminance(beauty_hdr)
         log_mean = mean_fn(jnp.mean(jnp.log(lum + 1e-4)))

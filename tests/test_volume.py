@@ -1,0 +1,57 @@
+"""Volume single-scattering tests."""
+import jax.numpy as jnp
+import numpy as np
+
+from merian_quake_tpu.models.procedural import get_scene
+from merian_quake_tpu.models.types import RenderConfig
+from merian_quake_tpu.render.mcpg import MCPGConfig
+from merian_quake_tpu.render.mcpg.volume import VolumeConfig, _normal_dist
+from merian_quake_tpu.renderer import render_sequence
+
+
+def _run(mu_t, frames=4, seed=1337, spp=1):
+    cfg = RenderConfig(width=48, height=32, spp=1, integrator="mcpg", seed=seed)
+    mcfg = MCPGConfig(volume=VolumeConfig(volume_spp=spp))
+    bundle = get_scene("box")
+    u = bundle.uniforms._replace(
+        mu_t=jnp.float32(mu_t), mu_s=jnp.full((3,), mu_t * 0.8)
+    )
+    bundle = bundle._replace(uniforms=u)
+    return render_sequence(bundle, cfg, frames=frames, mcpg_config=mcfg)
+
+
+def test_volume_scales_with_fog_density():
+    st0, _ = _run(0.0)
+    st1, _ = _run(0.0004)
+    st2, _ = _run(0.0008)
+    v0 = float(np.asarray(st0.accum_volume[..., :3]).mean())
+    v1 = float(np.asarray(st1.accum_volume[..., :3]).mean())
+    v2 = float(np.asarray(st2.accum_volume[..., :3]).mean())
+    assert v0 == 0.0
+    assert v2 > v1 > 0.0
+    # optically thin (mu_t·z ≈ 0.1..0.25): in-scatter ≈ linear in mu_s
+    assert 1.4 < v2 / v1 < 2.9, (v1, v2)
+
+
+def test_volume_finite_and_depth_learned():
+    st, out = _run(0.004, frames=6)
+    vol = np.asarray(st.accum_volume)
+    assert np.isfinite(vol).all()
+    depth = np.asarray(st.volume.volume_depth)
+    lz = np.asarray(out["gbuffer"].linear_z)
+    # expected scatter depth lies within (0, surface depth]
+    assert (depth > 0).all()
+    assert (depth <= lz + 1.0).all()
+    # distance chains learn where scattering found light
+    assert int((np.asarray(st.volume.dist_mc.sum_w) > 0).sum()) > 0
+
+
+def test_normal_dist_regularizer():
+    sw = jnp.asarray([2.0])
+    mm = jnp.asarray([[2.0 * 100.0, 2.0 * (100.0**2 + 25.0)]])  # mu=100 var=25
+    mu, sigma = _normal_dist(sw, jnp.asarray([1000]), mm)
+    np.testing.assert_allclose(float(mu[0]), 100.0, rtol=1e-5)
+    np.testing.assert_allclose(float(sigma[0]), 5.0, rtol=0.01)
+    # tiny N → prior dominates → sigma pulled toward 0.2/0.2 scale
+    mu2, sigma2 = _normal_dist(sw, jnp.asarray([0]), mm)
+    assert float(sigma2[0]) < 2.0
