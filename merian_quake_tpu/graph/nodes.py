@@ -1,0 +1,401 @@
+"""Built-in node types (≈ the 6 registered app nodes + merian built-ins,
+merian-quake.cpp:185-203 and default_config.json:402-727)."""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..models.types import RenderConfig
+from ..post.accumulate import accumulate_reprojected, firefly_clamp
+from ..post.fxaa import fxaa
+from ..post.svgf import SVGFParams, init_svgf_state, svgf
+from ..post.taa import taa
+from ..post.tonemap import tonemap_reinhard_extended
+from ..ops import color as color_ops
+from ..render.gbuffer import render_gbuffer
+from ..render.pt import render_pt
+from .graph import InputSpec, Node, register_node_type
+
+
+class GraphContext(NamedTuple):
+    """Shared compile-time context (≈ merian::Context + allocator)."""
+
+    accel: object
+    atlas: object
+    config: RenderConfig
+    mcpg_config: object = None
+    restir_config: object = None
+    ssmm_config: object = None
+
+
+@register_node_type
+class GBufferNode(Node):
+    TYPE = "gbuffer"
+
+    def inputs(self):
+        return [InputSpec("uniforms")]
+
+    def outputs(self):
+        return [
+            "irradiance", "albedo", "mv", "hits", "normal", "linear_z",
+            "z_grad", "z_vel", "gbuffer",
+        ]
+
+    def process(self, ctx, state, uniforms):
+        g = render_gbuffer(ctx.accel, ctx.atlas, uniforms, ctx.config)
+        return state, {
+            "irradiance": g.irradiance,
+            "albedo": g.albedo,
+            "mv": g.mv,
+            "hits": g.hits,
+            "normal": g.normal,
+            "linear_z": g.linear_z,
+            "z_grad": g.z_grad,
+            "z_vel": g.z_vel,
+            "gbuffer": g,
+        }
+
+
+@register_node_type
+class PathTracerNode(Node):
+    """Reference-mode unidirectional PT (mcpg.comp REFERENCE_MODE)."""
+
+    TYPE = "render_pt"
+
+    def inputs(self):
+        return [InputSpec("uniforms"), InputSpec("gbuffer")]
+
+    def outputs(self):
+        return ["irradiance"]
+
+    def process(self, ctx, state, uniforms, gbuffer):
+        irr = render_pt(ctx.accel, ctx.atlas, uniforms, ctx.config, gbuffer)
+        return state, {"irradiance": irr}
+
+
+@register_node_type
+class MCPGNode(Node):
+    TYPE = "render_markovchain"
+
+    def inputs(self):
+        return [InputSpec("uniforms"), InputSpec("gbuffer")]
+
+    def outputs(self):
+        return ["irradiance", "volume", "volume_mv"]
+
+    def init_state(self, ctx):
+        from ..render.mcpg import MCPGConfig, init_mcpg_state
+        from ..render.mcpg.volume import init_volume_state
+
+        mcfg = ctx.mcpg_config or MCPGConfig()
+        st = {"mcpg": init_mcpg_state(mcfg)}
+        if mcfg.volume is not None:
+            st["volume"] = init_volume_state(ctx.config, mcfg.volume)
+        return st
+
+    def process(self, ctx, state, uniforms, gbuffer):
+        import jax
+
+        from ..render.mcpg import MCPGConfig, apply_updates
+        from ..render.mcpg.surface import SurfaceResult, render_mcpg_surface
+        from ..render.mcpg.volume import render_volume
+
+        mcfg = ctx.mcpg_config or MCPGConfig()
+        res = render_mcpg_surface(
+            ctx.accel, ctx.atlas, uniforms, ctx.config, mcfg, state["mcpg"], gbuffer
+        )
+        outs = {"irradiance": res.irradiance, "volume": None, "volume_mv": None}
+        new_state = dict(state)
+        if mcfg.volume is not None:
+            vol_img, new_vol, vres = render_volume(
+                ctx.accel, ctx.atlas, uniforms, ctx.config, mcfg,
+                mcfg.volume, state["mcpg"], state["volume"], gbuffer,
+            )
+            cat = lambda a, b: jax.tree.map(
+                lambda x, y: jnp.concatenate([x, y]), a, b
+            )
+            res = SurfaceResult(
+                irradiance=res.irradiance,
+                updates=cat(res.updates, vres.updates),
+                lc_samples=cat(res.lc_samples, vres.lc_samples),
+                zeros=cat(res.zeros, vres.zeros),
+            )
+            outs["volume"] = vol_img
+            new_state["volume"] = new_vol
+        new_state["mcpg"] = apply_updates(
+            jnp.uint32(ctx.config.seed), state["mcpg"], res, uniforms, mcfg
+        )
+        return new_state, outs
+
+
+@register_node_type
+class ReSTIRNode(Node):
+    TYPE = "render_restir"
+
+    def inputs(self):
+        return [InputSpec("uniforms"), InputSpec("gbuffer")]
+
+    def outputs(self):
+        return ["irradiance"]
+
+    def init_state(self, ctx):
+        from ..render.restir import init_restir_state
+
+        return init_restir_state(ctx.config.width, ctx.config.height)
+
+    def process(self, ctx, state, uniforms, gbuffer):
+        from ..render.restir import ReSTIRConfig, render_restir
+
+        irr, new_state = render_restir(
+            ctx.accel, ctx.atlas, uniforms, ctx.config,
+            ctx.restir_config or ReSTIRConfig(), state, gbuffer,
+        )
+        return new_state, {"irradiance": irr}
+
+
+@register_node_type
+class SSMMNode(Node):
+    TYPE = "render_ssmm"
+
+    def inputs(self):
+        return [InputSpec("uniforms"), InputSpec("gbuffer")]
+
+    def outputs(self):
+        return ["irradiance"]
+
+    def init_state(self, ctx):
+        from ..render.ssmm import init_ssmm_state
+
+        return init_ssmm_state(ctx.config.width, ctx.config.height)
+
+    def process(self, ctx, state, uniforms, gbuffer):
+        from ..render.ssmm import SSMMConfig, render_ssmm
+
+        irr, new_state = render_ssmm(
+            ctx.accel, ctx.atlas, uniforms, ctx.config,
+            ctx.ssmm_config or SSMMConfig(), state, gbuffer,
+        )
+        return new_state, {"irradiance": irr}
+
+
+@register_node_type
+class AccumulateNode(Node):
+    """Temporal accumulation w/ MV reprojection + firefly filter
+    (merian Accumulate, default_config.json:404-427)."""
+
+    TYPE = "accumulate"
+
+    def inputs(self):
+        return [InputSpec("src"), InputSpec("mv", optional=True)]
+
+    def outputs(self):
+        return ["out"]
+
+    def init_state(self, ctx):
+        H, W = ctx.config.height, ctx.config.width
+        return {
+            "history": jnp.zeros((H, W, 4)),
+            "hist_len": jnp.zeros((H, W)),
+        }
+
+    def process(self, ctx, state, src, mv=None):
+        alpha = float(self.props.get("alpha", 0.0))
+        firefly = float(self.props.get("firefly_k", 0.0))
+        if mv is None:
+            mv = jnp.zeros(src.shape[:2] + (2,))
+        out, n = accumulate_reprojected(
+            state["history"], state["hist_len"], src, mv,
+            alpha=alpha, firefly_k=firefly,
+        )
+        return {"history": out, "hist_len": n}, {"out": out}
+
+
+@register_node_type
+class SVGFNode(Node):
+    TYPE = "svgf"
+
+    def inputs(self):
+        return [
+            InputSpec("irradiance"), InputSpec("albedo"), InputSpec("mv"),
+            InputSpec("normal"), InputSpec("linear_z"), InputSpec("z_grad"),
+        ]
+
+    def outputs(self):
+        return ["out"]
+
+    def init_state(self, ctx):
+        return init_svgf_state(ctx.config.height, ctx.config.width)
+
+    def process(self, ctx, state, irradiance, albedo, mv, normal, linear_z, z_grad):
+        params = SVGFParams(
+            iterations=int(self.props.get("iterations", 5)),
+        )
+        new_state, out = svgf(
+            state, irradiance[..., :3], irradiance[..., 3], mv, normal,
+            linear_z, z_grad, albedo[..., :3], params,
+        )
+        return new_state, {"out": out}
+
+
+@register_node_type
+class AddNode(Node):
+    TYPE = "add"
+
+    def inputs(self):
+        return [InputSpec("a"), InputSpec("b"), InputSpec("c", optional=True)]
+
+    def outputs(self):
+        return ["out"]
+
+    def process(self, ctx, state, a, b, c=None):
+        out = a[..., :3] + b[..., :3]
+        if c is not None:
+            out = out + c[..., :3]
+        return state, {"out": out}
+
+
+@register_node_type
+class ModulateNode(Node):
+    """Componentwise multiply (albedo re-modulation after denoise)."""
+
+    TYPE = "modulate"
+
+    def inputs(self):
+        return [InputSpec("a"), InputSpec("b")]
+
+    def outputs(self):
+        return ["out"]
+
+    def process(self, ctx, state, a, b):
+        return state, {"out": a[..., :3] * jnp.maximum(b[..., :3], 0.0)}
+
+
+@register_node_type
+class ExposureNode(Node):
+    TYPE = "exposure"
+
+    def inputs(self):
+        return [InputSpec("src")]
+
+    def outputs(self):
+        return ["out"]
+
+    def process(self, ctx, state, src):
+        key = float(self.props.get("key", 0.18))
+        lum = color_ops.yuv_luminance(src[..., :3])
+        scale = key / jnp.maximum(jnp.exp(jnp.mean(jnp.log(lum + 1e-4))), 1e-4)
+        return state, {"out": src[..., :3] * scale}
+
+
+@register_node_type
+class TonemapNode(Node):
+    TYPE = "tonemap"
+
+    def inputs(self):
+        return [InputSpec("src")]
+
+    def outputs(self):
+        return ["out"]
+
+    def process(self, ctx, state, src):
+        white = float(self.props.get("white", 4.0))
+        return state, {"out": tonemap_reinhard_extended(src[..., :3], white=white)}
+
+
+@register_node_type
+class TAANode(Node):
+    TYPE = "taa"
+
+    def inputs(self):
+        return [InputSpec("src"), InputSpec("mv")]
+
+    def outputs(self):
+        return ["out"]
+
+    def init_state(self, ctx):
+        return jnp.zeros((ctx.config.height, ctx.config.width, 3))
+
+    def process(self, ctx, state, src, mv):
+        out = taa(state, src[..., :3], mv,
+                  blend_alpha=float(self.props.get("alpha", 0.1)))
+        return out, {"out": out}
+
+
+@register_node_type
+class FXAANode(Node):
+    TYPE = "fxaa"
+
+    def inputs(self):
+        return [InputSpec("src")]
+
+    def outputs(self):
+        return ["out"]
+
+    def process(self, ctx, state, src):
+        return state, {"out": fxaa(src[..., :3])}
+
+
+@register_node_type
+class ImageWriteNode(Node):
+    """Host-side PNG/PFM dump (merian Image Write). NOT jit-safe —
+    graphs containing an enabled writer must run eagerly."""
+
+    TYPE = "image_write"
+
+    def inputs(self):
+        return [InputSpec("src")]
+
+    def outputs(self):
+        return ["out"]
+
+    def init_state(self, ctx):
+        return {"count": 0}
+
+    def process(self, ctx, state, src):
+        import numpy as np
+
+        from ..utils.image import save_pfm, save_png
+
+        count = state["count"]
+        path = self.props.get("path", "")
+        every = int(self.props.get("every", 1))
+        if path and count % every == 0:
+            p = path.format(i=count)
+            if p.endswith(".pfm"):
+                save_pfm(p, np.asarray(src))
+            else:
+                save_png(p, np.asarray(src))
+        return {"count": count + 1}, {"out": src}
+
+
+def default_pt_graph_config() -> dict:
+    """The hand-wired renderer.frame_core pipeline as a graph config
+    (≈ a reduced res/default_config.json)."""
+    return {
+        "nodes": {
+            "gbuffer": {"type": "gbuffer"},
+            "renderer": {"type": "render_pt"},
+            "accum": {"type": "accumulate"},
+            "accum_albedo": {"type": "accumulate"},
+            "accum_direct": {"type": "accumulate"},
+            "modulate": {"type": "modulate"},
+            "add": {"type": "add"},
+            "exposure": {"type": "exposure"},
+            "tonemap": {"type": "tonemap"},
+        },
+        "connections": [
+            ["$frame", "uniforms", "gbuffer", "uniforms"],
+            ["$frame", "uniforms", "renderer", "uniforms"],
+            ["gbuffer", "gbuffer", "renderer", "gbuffer"],
+            ["renderer", "irradiance", "accum", "src"],
+            ["gbuffer", "albedo", "accum_albedo", "src"],
+            ["gbuffer", "irradiance", "accum_direct", "src"],
+            ["accum", "out", "modulate", "a"],
+            ["accum_albedo", "out", "modulate", "b"],
+            ["modulate", "out", "add", "a"],
+            ["accum_direct", "out", "add", "b"],
+            ["add", "out", "exposure", "src"],
+            ["exposure", "out", "tonemap", "src"],
+        ],
+    }

@@ -1,0 +1,127 @@
+"""Frame-graph tests: topology, delayed edges, config IO, equivalence."""
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from merian_quake_tpu.accel.build import build_accel
+from merian_quake_tpu.graph import Graph, InputSpec, Node
+from merian_quake_tpu.graph.graph import register_node_type
+from merian_quake_tpu.graph.nodes import GraphContext, default_pt_graph_config
+from merian_quake_tpu.models.procedural import cornell_box
+from merian_quake_tpu.models.types import RenderConfig
+from merian_quake_tpu.renderer import init_state, render_frame
+
+
+@register_node_type
+class _ConstNode(Node):
+    TYPE = "_const"
+
+    def outputs(self):
+        return ["out"]
+
+    def process(self, ctx, state, **kw):
+        return state, {"out": jnp.full((2, 2), float(self.props.get("v", 1.0)))}
+
+
+@register_node_type
+class _AddOneNode(Node):
+    TYPE = "_addone"
+
+    def inputs(self):
+        return [InputSpec("src")]
+
+    def outputs(self):
+        return ["out"]
+
+    def process(self, ctx, state, src):
+        return state, {"out": src + 1.0}
+
+
+@register_node_type
+class _DelayNode(Node):
+    TYPE = "_delay"
+
+    def inputs(self):
+        return [InputSpec("now"), InputSpec("prev", delay=1, optional=True)]
+
+    def outputs(self):
+        return ["out"]
+
+    def process(self, ctx, state, now, prev):
+        prev = jnp.zeros_like(now) if prev is None else prev
+        return state, {"out": now + prev}
+
+
+def test_toposort_and_dataflow():
+    g = Graph()
+    g.add_node(_ConstNode("c", {"v": 2.0}))
+    g.add_node(_AddOneNode("p1"))
+    g.add_node(_AddOneNode("p2"))
+    g.connect("c", "out", "p1", "src")
+    g.connect("p1", "out", "p2", "src")
+    st = g.init_state()
+    st, out = g.run(st)
+    np.testing.assert_allclose(np.asarray(out[("p2", "out")]), 4.0)
+
+
+def test_cycle_without_delay_rejected():
+    g = Graph()
+    g.add_node(_AddOneNode("a"))
+    g.add_node(_AddOneNode("b"))
+    g.connect("a", "out", "b", "src")
+    g.connect("b", "out", "a", "src")
+    with pytest.raises(ValueError, match="cycle"):
+        st = g.init_state()
+        g.run(st)
+
+
+def test_delayed_edge_reads_previous_frame():
+    g = Graph()
+    g.add_node(_ConstNode("c", {"v": 3.0}))
+    g.add_node(_DelayNode("d"))
+    g.connect("c", "out", "d", "now")
+    g.connect("d", "out", "d", "prev")  # self-loop via delay (history)
+    st = g.init_state()
+    st, out1 = g.run(st)
+    np.testing.assert_allclose(np.asarray(out1[("d", "out")]), 3.0)
+    st, out2 = g.run(st)
+    np.testing.assert_allclose(np.asarray(out2[("d", "out")]), 6.0)
+    st, out3 = g.run(st)
+    np.testing.assert_allclose(np.asarray(out3[("d", "out")]), 9.0)
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = default_pt_graph_config()
+    g = Graph.from_config(cfg)
+    path = str(tmp_path / "graph.json")
+    g.store(path)
+    with open(path) as f:
+        cfg2 = json.load(f)
+    g2 = Graph.from_config(cfg2)
+    assert set(g2.nodes) == set(g.nodes)
+    assert g2.connections == g.connections
+    assert g2.to_config() == g.to_config()
+
+
+def test_graph_matches_handwired_renderer():
+    """The default graph must reproduce renderer.frame_core exactly."""
+    bundle = cornell_box()
+    config = RenderConfig(width=48, height=32, spp=1, max_path_length=3)
+    accel = build_accel(bundle.scene, bundle.atlas)
+    ctx = GraphContext(accel=accel, atlas=bundle.atlas, config=config)
+    g = Graph.from_config(default_pt_graph_config(), ctx)
+    gstate = g.init_state()
+
+    fstate = init_state(config)
+    uniforms = bundle.uniforms
+    for i in range(2):
+        uniforms = uniforms._replace(frame=jnp.uint32(i))
+        gstate, out = g.run(gstate, {"uniforms": uniforms})
+        fstate, fout = render_frame(accel, bundle.atlas, uniforms, config, fstate)
+    np.testing.assert_allclose(
+        np.asarray(out[("tonemap", "out")]),
+        np.asarray(fout["ldr"]),
+        atol=1e-5,
+    )
