@@ -26,9 +26,14 @@ def main():
     from merian_quake_tpu.renderer import init_state, render_frame
 
     width, height, spp, mpl = 1920, 1080, 2, 3
+    from merian_quake_tpu.accel.build import scene_features
+
     bundle = cornell_box()
     accel = build_accel(bundle.scene, bundle.atlas)
-    config = RenderConfig(width=width, height=height, spp=spp, max_path_length=mpl)
+    config = RenderConfig(
+        width=width, height=height, spp=spp, max_path_length=mpl,
+        features=scene_features(bundle.scene, bundle.uniforms),
+    )
     state = init_state(config)
     uniforms = bundle.uniforms
 

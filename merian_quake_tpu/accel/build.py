@@ -32,6 +32,10 @@ class AccelScene(NamedTuple):
     needs_alpha: jnp.ndarray  # bool[T] committed hit requires texture alpha
     cluster_lo: jnp.ndarray  # f32[C, 3] cluster AABB min
     cluster_hi: jnp.ndarray  # f32[C, 3] cluster AABB max
+    woop_w: jnp.ndarray  # f32[3T, 8] unit-triangle affine maps (woop.py)
+    woop_cand: jnp.ndarray  # f32[1, T] candidacy for the Woop kernel
+    tri_attr: jnp.ndarray  # f32[T, 40] packed shading attributes (one
+    # gather per hit instead of ~12 — see trace.ATTR_* layout)
 
     @property
     def num_clusters(self) -> int:
@@ -124,10 +128,63 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
     lo_c[empty] = big
     hi_c[empty] = -big
 
+    from .woop import build_woop
+
+    woop_w, woop_cand = build_woop(v0, v1, v2, candidate)
+
+    sc = scene
+    attr = np.zeros((T, 40), np.float32)
+    attr[:, 0:3] = np.asarray(sc.v0)
+    attr[:, 3:6] = np.asarray(sc.v1)
+    attr[:, 6:9] = np.asarray(sc.v2)
+    attr[:, 9:12] = np.asarray(sc.pv0)
+    attr[:, 12:15] = np.asarray(sc.pv1)
+    attr[:, 15:18] = np.asarray(sc.pv2)
+    attr[:, 18:24] = np.asarray(sc.st).reshape(T, 6)
+    attr[:, 24] = np.asarray(sc.texnum)
+    attr[:, 25] = np.asarray(sc.fb_texnum)
+    attr[:, 26] = np.asarray(sc.gloss_texnum)
+    attr[:, 27] = np.asarray(sc.flags)
+    attr[:, 28:31] = np.asarray(sc.solid_albedo)
+    attr[:, 31:34] = np.asarray(sc.solid_emission)
+
     return AccelScene(
         scene=scene,
         candidate=jnp.asarray(candidate),
         needs_alpha=jnp.asarray(needs_alpha),
         cluster_lo=jnp.asarray(lo_c.astype(np.float32)),
         cluster_hi=jnp.asarray(hi_c.astype(np.float32)),
+        woop_w=jnp.asarray(woop_w),
+        woop_cand=jnp.asarray(woop_cand[None].astype(np.float32)),
+        tri_attr=jnp.asarray(attr),
+    )
+
+
+def scene_features(scene: Scene, uniforms=None):
+    """Derive static SceneFeatures from host scene data."""
+    from ..models.types import SceneFeatures
+    from ..models import materials as mats
+
+    flags = np.asarray(scene.flags)
+    valid = np.asarray(scene.valid)
+    warp = (
+        (flags >= mats.WARP_FLAG_MIN) & (flags <= mats.WARP_FLAG_MAX) & valid
+    ).any()
+    sky_mode = "none"
+    if uniforms is not None:
+        if int(np.asarray(uniforms.sky_classic)[0]) >= 0:
+            sky_mode = "classic"
+        elif int(np.asarray(uniforms.sky_cube).max()) >= 0:
+            sky_mode = "cubemap"
+    emis = (
+        (flags == mats.MAT_FLAGS_SPRITE)
+        | (flags == mats.MAT_FLAGS_TELE)
+        | (flags == mats.MAT_FLAGS_WATERFALL)
+    ) & valid
+    return SceneFeatures(
+        sky_mode=sky_mode,
+        has_fb=bool(((np.asarray(scene.fb_texnum) > 0) & valid).any()),
+        has_gloss=bool(((np.asarray(scene.gloss_texnum) > 0) & valid).any()),
+        has_warp=bool(warp),
+        has_emissive_tex=bool(emis.any()),
     )

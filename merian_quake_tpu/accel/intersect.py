@@ -40,6 +40,20 @@ class HitRecord(NamedTuple):
         return self.tri >= 0
 
 
+import os
+
+
+def _use_pallas() -> bool:
+    """TPU → Pallas Woop kernel; CPU → XLA oracle (also the interpret-
+    mode reference). Override with MQ_INTERSECT=oracle|woop."""
+    mode = os.environ.get("MQ_INTERSECT", "auto")
+    if mode == "oracle":
+        return False
+    if mode == "woop":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 def intersect(
     accel: AccelScene,
     o: jnp.ndarray,
@@ -51,10 +65,16 @@ def intersect(
 ) -> HitRecord:
     """Nearest front-facing candidate hit. o, d: f32[N, 3].
 
-    Large ray batches are processed in sequential blocks of
-    ``ray_block`` rays (lax.map) to bound the (rays × chunk)
-    intermediate working set.
+    On TPU this dispatches to the Pallas Woop kernel (accel/woop.py);
+    the XLA path below is the correctness oracle (used on CPU and by
+    the kernel equivalence tests). Large ray batches are processed in
+    sequential blocks of ``ray_block`` rays (lax.map) to bound the
+    (rays × chunk) intermediate working set.
     """
+    if _use_pallas():
+        from .woop import intersect_woop
+
+        return intersect_woop(accel, o, d, t_min, t_max)
     n_rays = o.shape[0]
     if n_rays > ray_block:
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))

@@ -139,6 +139,23 @@ def default_uniforms(
     )
 
 
+class SceneFeatures(NamedTuple):
+    """Static scene capability flags — compiled into the kernels.
+
+    The GLSL reference branches per-thread on these (cheap on GPUs);
+    under XLA every branch is evaluated for every lane, so a scene
+    without sky textures must not pay for sky sampling. Derived from
+    the host-side scene data (accel.build.scene_features); changing a
+    flag recompiles (≈ the reference's macro-driven pipeline rebuild).
+    """
+
+    sky_mode: str = "none"  # none | classic | cubemap
+    has_fb: bool = False  # any fullbright emission textures
+    has_gloss: bool = False  # any gloss/roughness maps
+    has_warp: bool = False  # any lava/slime/tele/water UV warp
+    has_emissive_tex: bool = True  # any sprite/tele/waterfall surfaces
+
+
 class RenderConfig(NamedTuple):
     """Static (compile-time) render settings — jit static argument.
 
@@ -155,7 +172,10 @@ class RenderConfig(NamedTuple):
     integrator: str = "pt"  # pt (= reference_mode, mcpg.comp:59-65) | mcpg
     denoise: bool = False  # SVGF + TAA + FXAA real-time path
     max_intersections: int = materials.MAX_INTERSECTIONS
-    bilinear: bool = True
+    # nearest is the perf default (XLA texel gathers are expensive and
+    # Quake textures are chunky); the reference uses bilinear+mips
+    bilinear: bool = False
+    features: "SceneFeatures" = SceneFeatures()
 
 
 def build_scene_from_soup(

@@ -58,7 +58,10 @@ def render_gbuffer(
     n = wi.shape[0]
     pos = jnp.broadcast_to(uniforms.cam_x, (n, 3))
 
-    res = trace_ray(accel, atlas, uniforms, pos, wi, bilinear=config.bilinear)
+    res = trace_ray(
+        accel, atlas, uniforms, pos, wi, bilinear=config.bilinear,
+        features=config.features,
+    )
     hit = res.hit
 
     # irradiance = emission at first hit (gbuffer.comp:104)

@@ -187,7 +187,10 @@ def render_mcpg_surface(
 
             # ---- trace next segment ----
             origin = cur.pos - cur.wi * 1e-3
-            res = trace_ray(accel, atlas, uniforms, origin, wo)
+            res = trace_ray(
+                accel, atlas, uniforms, origin, wo,
+                bilinear=config.bilinear, features=config.features,
+            )
             incident = res.contribution
             has_inc = (incident > 0.0).any(axis=-1)
 

@@ -303,7 +303,10 @@ def render_volume(
         p = p * wo_p
 
         # ---- trace from the scatter point ----
-        res = trace_ray(accel, atlas, uniforms, pos, wo)
+        res = trace_ray(
+            accel, atlas, uniforms, pos, wo,
+            bilinear=config.bilinear, features=config.features,
+        )
         incident = res.contribution
         if vcfg.volume_use_light_cache:
             rng, lc_irr = lc_get(

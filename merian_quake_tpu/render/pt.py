@@ -85,7 +85,10 @@ def render_pt(
 
             # trace next segment (origin pulled back, mcpg.comp:144)
             origin = cur.pos - cur.wi * 1e-3
-            res = trace_ray(accel, atlas, uniforms, origin, wo)
+            res = trace_ray(
+                accel, atlas, uniforms, origin, wo,
+                bilinear=config.bilinear, features=config.features,
+            )
 
             micro = bsdf.eval_times_cos(cur.wi, wo, cur.normal, alpha)
             new_thr = throughput * micro[..., None]

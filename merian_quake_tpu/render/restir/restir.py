@@ -118,7 +118,10 @@ def render_restir(
             & (linalg.dot(wo, surf.geo_normal) > 1e-3)
         )
         origin = surf.pos - surf.wi * 1e-3
-        res = trace_ray(accel, atlas, uniforms, origin, wo)
+        res = trace_ray(
+            accel, atlas, uniforms, origin, wo,
+            bilinear=config.bilinear, features=config.features,
+        )
         nh = res.hit
         d2 = jnp.maximum(jnp.sum(jnp.square(nh.pos - surf.pos), -1), 1e-12)
         geo = jnp.maximum(linalg.dot(nh.normal, -wo), 0.0) / d2
@@ -266,7 +269,10 @@ def render_restir(
     dist_y = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-12))
     wo = d / dist_y[..., None]
     origin = surf.pos - surf.wi * 1e-3
-    res = trace_ray(accel, atlas, uniforms, origin, wo)
+    res = trace_ray(
+        accel, atlas, uniforms, origin, wo,
+        bilinear=config.bilinear, features=config.features,
+    )
     if rcfg.visibility_shade:
         dist_hit = linalg.distance(surf.pos, res.hit.pos)
         rel = jnp.abs(dist_y - dist_hit) / jnp.maximum(

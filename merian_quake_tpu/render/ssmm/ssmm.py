@@ -185,7 +185,10 @@ def render_ssmm(
         micro = bsdf.eval_times_cos(surf.wi, wo, surf.normal, alpha_r)
 
         origin = surf.pos - surf.wi * 1e-3
-        res = trace_ray(accel, atlas, uniforms, origin, wo)
+        res = trace_ray(
+            accel, atlas, uniforms, origin, wo,
+            bilinear=config.bilinear, features=config.features,
+        )
         incident = res.contribution
         position = res.hit.pos
 

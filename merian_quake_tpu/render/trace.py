@@ -8,6 +8,13 @@ cubemap) on miss/sky-flag hits, quake UV warp for lava/slime/tele/water,
 material decode (solid color, waterfall, sprite/tele, fullbright
 emission with the ldr_to_hdr boost), motion vectors from prev-frame
 vertices. Every branch is a masked select over the full ray batch.
+
+TPU cost model notes: per-hit attributes come from ONE packed gather of
+accel.tri_attr (f32[T, 40]) instead of ~12 per-field gathers, and the
+scene's static SceneFeatures flags compile out unused paths (sky
+layers, fullbright/gloss texture fetches, UV warp) — under XLA a
+"branch" is evaluated for every lane, so a scene without sky textures
+must not pay for sky sampling (3× frame-time difference measured).
 """
 from __future__ import annotations
 
@@ -19,12 +26,19 @@ from ..accel.build import AccelScene
 from ..accel.intersect import HitRecord, trace_nearest
 from ..models import atlas as atlas_mod
 from ..models import materials
-from ..models.types import TextureAtlas, Uniforms
+from ..models.types import SceneFeatures, TextureAtlas, Uniforms
 from ..ops import color as color_ops
 from ..ops import linalg, transmittance as trans_ops, vmf
 from .hit import Hit
 
 T_MAX = materials.T_MAX
+
+# tri_attr column layout (accel/build.py)
+_A_V0, _A_V1, _A_V2 = slice(0, 3), slice(3, 6), slice(6, 9)
+_A_PV0, _A_PV1, _A_PV2 = slice(9, 12), slice(12, 15), slice(15, 18)
+_A_ST = slice(18, 24)
+_A_TEX, _A_FB, _A_GLOSS, _A_FLAGS = 24, 25, 26, 27
+_A_SOLID_ALB, _A_SOLID_EMM = slice(28, 31), slice(31, 34)
 
 
 def _classic_sky(atlas: TextureAtlas, uniforms: Uniforms, w: jnp.ndarray):
@@ -45,7 +59,6 @@ def _cubemap_sky(atlas: TextureAtlas, uniforms: Uniforms, w: jnp.ndarray):
     """Six-face skybox sample (raytrace.glsl:45-59)."""
     ax, ay, az = jnp.abs(w[..., 0]), jnp.abs(w[..., 1]), jnp.abs(w[..., 2])
     x, y, z = w[..., 0], w[..., 1], w[..., 2]
-    # side: 0 rt(+x) 1 lf(-x) 2 bk(+y) 3 ft(-y) 4 up(+z) 5 dn(-z)
     side_x = jnp.where(x >= 0, 0, 1)
     side_y = jnp.where(y >= 0, 2, 3)
     side_z = jnp.where(z >= 0, 4, 5)
@@ -74,31 +87,32 @@ def _cubemap_sky(atlas: TextureAtlas, uniforms: Uniforms, w: jnp.ndarray):
     return jnp.where((texnum >= 0)[..., None], col, 0.0)
 
 
-def get_sky(atlas: TextureAtlas, uniforms: Uniforms, w: jnp.ndarray):
-    """Sky radiance for direction w (raytrace.glsl get_sky, :25-60)."""
+def get_sky(
+    atlas: TextureAtlas,
+    uniforms: Uniforms,
+    w: jnp.ndarray,
+    sky_mode: str = "cubemap",
+):
+    """Sky radiance for direction w (raytrace.glsl get_sky, :25-60).
+
+    ``sky_mode`` is STATIC: 'classic' REPLACES the sun glow (`emm =`,
+    raytrace.glsl:43), 'cubemap' ADDS to it (:57), 'none' = sun only.
+    """
+    if sky_mode == "classic":
+        return _classic_sky(atlas, uniforms, w)
     sun_glow = 0.5 * jnp.power(
         0.5 * (1.0 + linalg.dot(uniforms.sun_w, w)), 4.0
     )
     sun_disc = 5.0 * vmf.pdf(w, uniforms.sun_w, 3000.0)
     sun_color = jnp.minimum(uniforms.sun_color, materials.MAX_SUN_COLOR)
     emm = (sun_glow + sun_disc)[..., None] * sun_color
-    # classic sky REPLACES the sun glow (`emm =`, raytrace.glsl:43);
-    # cubemap ADDS to it (`emm +=`, :57)
-    classic = uniforms.sky_classic[0] >= 0
-    return jnp.where(
-        classic[..., None],
-        _classic_sky(atlas, uniforms, w),
-        emm + _cubemap_sky(atlas, uniforms, w),
-    )
+    if sky_mode == "cubemap":
+        return emm + _cubemap_sky(atlas, uniforms, w)
+    return emm
 
 
 def _warp_uv(uv: jnp.ndarray, cl_time, flags: jnp.ndarray) -> jnp.ndarray:
-    """Quake turbulent texture warp for lava/slime/tele/water + waves.
-
-    MERIAN_TEXTUREEFFECT_QUAKE_WARPCALC equivalent: the classic warp is
-    uv' = uv + 0.125*sin(2*pi*uv.yx + time-ish) (8px amplitude over a
-    64px texture). Water additionally gets a travelling wave term.
-    """
+    """Quake turbulent texture warp for lava/slime/tele/water + waves."""
     warp = (flags >= materials.WARP_FLAG_MIN) & (flags <= materials.WARP_FLAG_MAX)
     t = cl_time
     swap = uv[..., ::-1]
@@ -124,21 +138,20 @@ def trace_ray(
     uniforms: Uniforms,
     pos: jnp.ndarray,
     wi: jnp.ndarray,
-    bilinear: bool = True,
+    bilinear: bool = False,
     chunk: int = 128,
+    features: SceneFeatures = SceneFeatures(
+        sky_mode="cubemap", has_fb=True, has_gloss=True, has_warp=True,
+        has_emissive_tex=True,
+    ),
 ) -> TraceResult:
     """Trace from ``pos`` along ``wi`` and shade the hit.
 
-    Returns throughput (fog transmittance to the hit), contribution
-    (emission at the hit, already multiplied by throughput), and the
-    shaded Hit. ``pos`` should already be pulled back by the caller
-    (reference pulls back 1e-3 along the previous direction,
-    mcpg.comp:144).
+    ``features`` (static) compiles out unused material paths; the
+    all-on default is always correct, scene-derived flags are faster
+    (accel.build.scene_features).
     """
-    scene = accel.scene
-    hr = trace_nearest(
-        accel, atlas, pos, wi, 0.0, T_MAX, chunk=chunk
-    )
+    hr = trace_nearest(accel, atlas, pos, wi, 0.0, T_MAX, chunk=chunk)
     n = pos.shape[0]
     tri = jnp.maximum(hr.tri, 0)
     t_hit = jnp.where(hr.hit, hr.t, T_MAX)
@@ -150,42 +163,40 @@ def trace_ray(
         (n, 3),
     )
 
-    flags = jnp.where(hr.hit, jnp.take(scene.flags, tri), materials.MAT_FLAGS_NONE)
+    # ---- ONE packed attribute gather ----
+    attr = jnp.take(accel.tri_attr, tri, axis=0)  # (N, 40)
+    flags = jnp.where(hr.hit, attr[:, _A_FLAGS].astype(jnp.int32), 0)
     is_sky = jnp.logical_or(~hr.hit, flags == materials.MAT_FLAGS_SKY)
 
-    # --- geometric data ---
-    v0 = jnp.take(scene.v0, tri, axis=0)
-    v1 = jnp.take(scene.v1, tri, axis=0)
-    v2 = jnp.take(scene.v2, tri, axis=0)
+    v0, v1, v2 = attr[:, _A_V0], attr[:, _A_V1], attr[:, _A_V2]
     w0 = (1.0 - hr.u - hr.v)[..., None]
     wu = hr.u[..., None]
     wv = hr.v[..., None]
     hit_pos = v0 * w0 + v1 * wu + v2 * wv
     prev_pos = (
-        jnp.take(scene.pv0, tri, axis=0) * w0
-        + jnp.take(scene.pv1, tri, axis=0) * wu
-        + jnp.take(scene.pv2, tri, axis=0) * wv
+        attr[:, _A_PV0] * w0 + attr[:, _A_PV1] * wu + attr[:, _A_PV2] * wv
     )
     geo_n = linalg.normalize(jnp.cross(v2 - v0, v1 - v0))
 
-    # --- texture coordinates (+ warp) ---
-    st = jnp.take(scene.st, tri, axis=0)
+    st = attr[:, _A_ST].reshape(n, 3, 2)
     uv = st[:, 0] * w0 + st[:, 1] * wu + st[:, 2] * wv
-    uv = _warp_uv(uv, uniforms.cl_time, flags)
+    if features.has_warp:
+        uv = _warp_uv(uv, uniforms.cl_time, flags)
 
-    texnum = jnp.take(scene.texnum, tri)
+    texnum = attr[:, _A_TEX].astype(jnp.int32)
     albedo_tex = atlas_mod.sample(atlas, texnum, uv, bilinear=bilinear)[..., :3]
 
-    # --- material decode ---
+    # ---- material decode ----
     roughness = jnp.full((n,), materials.DEFAULT_ROUGHNESS)
     roughness = jnp.where(
         flags == materials.MAT_FLAGS_WATER, materials.WATER_ROUGHNESS, roughness
     )
-    gloss_texnum = jnp.take(scene.gloss_texnum, tri)
-    gloss = atlas_mod.sample(atlas, jnp.maximum(gloss_texnum, 0), uv, bilinear=False)[
-        ..., 0
-    ]
-    roughness = jnp.where(gloss_texnum > 0, gloss, roughness)
+    if features.has_gloss:
+        gloss_texnum = attr[:, _A_GLOSS].astype(jnp.int32)
+        gloss = atlas_mod.sample(
+            atlas, jnp.maximum(gloss_texnum, 0), uv, bilinear=False
+        )[..., 0]
+        roughness = jnp.where(gloss_texnum > 0, gloss, roughness)
 
     solid = flags == materials.MAT_FLAGS_SOLID
     waterfall = flags == materials.MAT_FLAGS_WATERFALL
@@ -194,34 +205,27 @@ def trace_ray(
     )
 
     albedo = albedo_tex
-    albedo = jnp.where(
-        solid[..., None], jnp.take(scene.solid_albedo, tri, axis=0), albedo
-    )
-    albedo = jnp.where(
-        sprite_tele[..., None], color_ops.ldr_to_hdr(albedo_tex), albedo
-    )
-
+    albedo = jnp.where(solid[..., None], attr[:, _A_SOLID_ALB], albedo)
     emission = jnp.zeros((n, 3))
-    emission = jnp.where(
-        solid[..., None], jnp.take(scene.solid_emission, tri, axis=0), emission
-    )
-    emission = jnp.where(waterfall[..., None], albedo_tex, emission)
-    emission = jnp.where(
-        sprite_tele[..., None], color_ops.ldr_to_hdr(albedo_tex), emission
-    )
-    # fullbright texture emission (default material only)
-    fb_texnum = jnp.take(scene.fb_texnum, tri)
-    fb_col = atlas_mod.sample(atlas, jnp.maximum(fb_texnum, 0), uv, bilinear=bilinear)[
-        ..., :3
-    ]
-    fb_emission = color_ops.ldr_to_hdr(fb_col)
-    default_mat = ~(solid | waterfall | sprite_tele | is_sky)
-    has_fb = default_mat & (fb_texnum > 0) & (fb_emission.max(axis=-1) > 0.0)
-    emission = jnp.where(has_fb[..., None], fb_emission, emission)
-    albedo = jnp.where(has_fb[..., None], fb_emission, albedo)
+    emission = jnp.where(solid[..., None], attr[:, _A_SOLID_EMM], emission)
+    if features.has_emissive_tex:
+        boosted = color_ops.ldr_to_hdr(albedo_tex)
+        albedo = jnp.where(sprite_tele[..., None], boosted, albedo)
+        emission = jnp.where(waterfall[..., None], albedo_tex, emission)
+        emission = jnp.where(sprite_tele[..., None], boosted, emission)
+    if features.has_fb:
+        fb_texnum = attr[:, _A_FB].astype(jnp.int32)
+        fb_col = atlas_mod.sample(
+            atlas, jnp.maximum(fb_texnum, 0), uv, bilinear=bilinear
+        )[..., :3]
+        fb_emission = color_ops.ldr_to_hdr(fb_col)
+        default_mat = ~(solid | waterfall | sprite_tele | is_sky)
+        has_fb = default_mat & (fb_texnum > 0) & (fb_emission.max(axis=-1) > 0.0)
+        emission = jnp.where(has_fb[..., None], fb_emission, emission)
+        albedo = jnp.where(has_fb[..., None], fb_emission, albedo)
 
-    # --- sky ---
-    sky_col = get_sky(atlas, uniforms, wi)
+    # ---- sky ----
+    sky_col = get_sky(atlas, uniforms, wi, sky_mode=features.sky_mode)
     albedo = jnp.where(is_sky[..., None], sky_col, albedo)
     emission = jnp.where(is_sky[..., None], sky_col, emission)
     sky_pos = pos + wi * T_MAX

@@ -279,6 +279,11 @@ def render_sequence(
 
             mcpg_config = SSMMConfig()
     accel = build_accel(bundle.scene, bundle.atlas)
+    from .accel.build import scene_features
+
+    config = config._replace(
+        features=scene_features(bundle.scene, bundle.uniforms)
+    )
     state = init_state(config, mcpg_config)
     uniforms = bundle.uniforms
     outputs = None
