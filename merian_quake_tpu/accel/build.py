@@ -97,16 +97,20 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
         flag_opaque | override_accept | ~has_override
     )
 
-    # --- Morton order over candidate centroids ---
-    cent = (v0 + v1 + v2) / 3.0
-    lo = cent.min(axis=0)
-    hi = cent.max(axis=0)
-    ext = np.maximum(hi - lo, 1e-6)
-    q = np.clip(((cent - lo) / ext * 1023.0), 0, 1023).astype(np.uint64)
-    codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
-    # order: real candidates first (by Morton), then alpha-only, then padding
-    rank = np.where(candidate, 0, np.where(valid, 1, 2)).astype(np.uint64)
-    perm = np.lexsort((codes, rank))
+    # --- Morton order over candidate centroids (native fast path) ---
+    from ..utils import native
+
+    perm = native.morton_perm(v0, v1, v2, candidate, valid)
+    if perm is None:
+        cent = (v0 + v1 + v2) / 3.0
+        lo = cent.min(axis=0)
+        hi = cent.max(axis=0)
+        ext = np.maximum(hi - lo, 1e-6)
+        q = np.clip(((cent - lo) / ext * 1023.0), 0, 1023).astype(np.uint64)
+        codes = _morton3(q[:, 0], q[:, 1], q[:, 2])
+        # candidates first (by Morton), then alpha-only, then padding
+        rank = np.where(candidate, 0, np.where(valid, 1, 2)).astype(np.uint64)
+        perm = np.lexsort((codes, rank))
     scene = _reorder_scene(scene, perm)
     candidate = candidate[perm]
     needs_alpha = needs_alpha[perm]
@@ -116,21 +120,29 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
     v1 = np.asarray(scene.v1)
     v2 = np.asarray(scene.v2)
     T = v0.shape[0]
-    C = T // CLUSTER_SIZE
-    pts = np.stack([v0, v1, v2], axis=1).reshape(C, CLUSTER_SIZE * 3, 3)
-    cmask = candidate.reshape(C, CLUSTER_SIZE).repeat(3, axis=1).reshape(
-        C, CLUSTER_SIZE * 3
-    )
-    big = np.float32(1e30)
-    lo_c = np.where(cmask[..., None], pts, big).min(axis=1)
-    hi_c = np.where(cmask[..., None], pts, -big).max(axis=1)
-    empty = ~cmask.any(axis=1)
-    lo_c[empty] = big
-    hi_c[empty] = -big
+    aabbs = native.cluster_aabbs(v0, v1, v2, candidate, CLUSTER_SIZE)
+    if aabbs is not None:
+        lo_c, hi_c = aabbs
+    else:
+        C = T // CLUSTER_SIZE
+        pts = np.stack([v0, v1, v2], axis=1).reshape(C, CLUSTER_SIZE * 3, 3)
+        cmask = candidate.reshape(C, CLUSTER_SIZE).repeat(3, axis=1).reshape(
+            C, CLUSTER_SIZE * 3
+        )
+        big = np.float32(1e30)
+        lo_c = np.where(cmask[..., None], pts, big).min(axis=1)
+        hi_c = np.where(cmask[..., None], pts, -big).max(axis=1)
+        empty = ~cmask.any(axis=1)
+        lo_c[empty] = big
+        hi_c[empty] = -big
 
-    from .woop import build_woop
+    wres = native.build_woop(v0, v1, v2, candidate, CLUSTER_SIZE)
+    if wres is not None:
+        woop_w, woop_cand = wres
+    else:
+        from .woop import build_woop
 
-    woop_w, woop_cand = build_woop(v0, v1, v2, candidate)
+        woop_w, woop_cand = build_woop(v0, v1, v2, candidate)
 
     sc = scene
     attr = np.zeros((T, 40), np.float32)
