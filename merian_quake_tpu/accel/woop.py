@@ -57,7 +57,8 @@ def build_woop(v0, v1, v2, candidate) -> tuple[np.ndarray, np.ndarray]:
     return w, cand
 
 
-def _kernel(rays_ref, w_ref, cand_ref, out_ref, idx_ref):
+def _kernel(mask_ref, rays_ref, w_ref, cand_ref, out_ref, idx_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -68,6 +69,16 @@ def _kernel(rays_ref, w_ref, cand_ref, out_ref, idx_ref):
         out_ref[3, :] = jnp.zeros_like(out_ref[3, :])
         idx_ref[0, :] = jnp.full_like(idx_ref[0, :], -1)
 
+    # bit-packed reachability word from SMEM (scalar prefetch)
+    word = mask_ref[i, j // 32]
+    reach = (word >> (j % 32)) & 1
+
+    @pl.when(reach > 0)
+    def _():
+        _intersect_tile(rays_ref, w_ref, cand_ref, out_ref, idx_ref, j)
+
+
+def _intersect_tile(rays_ref, w_ref, cand_ref, out_ref, idx_ref, j):
     rays = rays_ref[:]  # (8, B)
     w = w_ref[:]  # (3C, 8) row blocks [row0s; row1s; row2s], cols 0-3 used
     cand = cand_ref[:]  # (1, C)
@@ -126,32 +137,77 @@ def _kernel(rays_ref, w_ref, cand_ref, out_ref, idx_ref):
     )
 
 
+def _cull_mask(rays, cluster_lo, cluster_hi, ray_block):
+    """Conservative (ray-block × cluster) reachability mask.
+
+    For a block of rays with origin box O, direction box D and max
+    parameter t̂, the reachable region per axis is
+    [O_lo + t̂·min(D_lo, 0), O_hi + t̂·max(D_hi, 0)]; a cluster whose
+    AABB misses it on any axis cannot be hit by ANY ray in the block.
+    This is the tile-granular second level of the structure — hierarchy
+    at block granularity instead of a divergent per-ray stack walk.
+    Coherent blocks (primary/shadow rays) cull everything behind and
+    beside them; fully incoherent blocks degrade to the dense sweep.
+    """
+    n = rays.shape[1]
+    nb = n // ray_block
+    r = rays.reshape(8, nb, ray_block)
+    o_lo = r[0:3].min(axis=2).T  # (nb, 3)
+    o_hi = r[0:3].max(axis=2).T
+    d_lo = r[3:6].min(axis=2).T
+    d_hi = r[3:6].max(axis=2).T
+    t_hat = r[7].max(axis=1)[:, None]  # (nb, 1)
+    reach_lo = o_lo + t_hat * jnp.minimum(d_lo, 0.0)
+    reach_hi = o_hi + t_hat * jnp.maximum(d_hi, 0.0)
+    overlap = (reach_lo[:, None] <= cluster_hi[None]) & (
+        reach_hi[:, None] >= cluster_lo[None]
+    )
+    m = overlap.all(axis=-1)  # (nb, nc)
+    # bit-pack along clusters → i32 words for SMEM scalar prefetch
+    nb2, nc = m.shape
+    nw = (nc + 31) // 32
+    pad = nw * 32 - nc
+    mp = jnp.pad(m, ((0, 0), (0, pad))).reshape(nb2, nw, 32)
+    bits = (mp.astype(jnp.int32) << jnp.arange(32, dtype=jnp.int32)).sum(-1)
+    return bits  # (nb, nw) int32
+
+
 @functools.partial(jax.jit, static_argnames=("ray_block", "chunk", "interpret"))
 def intersect_woop_packed(
-    rays, w, cand, ray_block: int = 2048, chunk: int = CLUSTER_SIZE,
+    rays, w, cand, cluster_lo=None, cluster_hi=None,
+    ray_block: int = 2048, chunk: int = CLUSTER_SIZE,
     interpret: bool = False,
 ):
     n = rays.shape[1]
     t = w.shape[0] // 3
     grid = (n // ray_block, t // chunk)
-    out, idx = pl.pallas_call(
-        _kernel,
+    if cluster_lo is not None:
+        mask = _cull_mask(rays, cluster_lo, cluster_hi, ray_block)
+    else:
+        nb, nc = grid
+        mask = jnp.full((nb, (nc + 31) // 32), -1, jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, ray_block), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * chunk, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ray_block), lambda i, j, m: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * chunk, 8), lambda i, j, m: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, j, m: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((4, ray_block), lambda i, j: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_block), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, ray_block), lambda i, j, m: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ray_block), lambda i, j, m: (0, i), memory_space=pltpu.VMEM),
         ],
+    )
+    out, idx = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((4, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
         interpret=interpret,
-    )(rays, w, cand)
+    )(mask, rays, w, cand)
     return out, idx
 
 
@@ -171,7 +227,8 @@ def intersect_woop(accel, o, d, t_min, t_max, ray_block=2048, interpret=False):
         t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0)])
     rays = jnp.concatenate([o.T, d.T, t_min[None], t_max[None]], axis=0)
     out, idx = intersect_woop_packed(
-        rays, accel.woop_w, accel.woop_cand, ray_block=ray_block,
-        interpret=interpret,
+        rays, accel.woop_w, accel.woop_cand,
+        cluster_lo=accel.cluster_lo, cluster_hi=accel.cluster_hi,
+        ray_block=ray_block, interpret=interpret,
     )
     return HitRecord(t=out[0, :n], tri=idx[0, :n], u=out[1, :n], v=out[2, :n])
