@@ -159,6 +159,23 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
     attr[:, 27] = np.asarray(sc.flags)
     attr[:, 28:31] = np.asarray(sc.solid_albedo)
     attr[:, 31:34] = np.asarray(sc.solid_emission)
+    attr[:, 34] = np.asarray(sc.normal_texnum)
+    # texel density (texels per world unit) for ray-cone mip selection
+    st = np.asarray(sc.st)
+    sd0 = st[:, 1] - st[:, 0]
+    sd1 = st[:, 2] - st[:, 0]
+    uv_area = 0.5 * np.abs(sd0[:, 0] * sd1[:, 1] - sd0[:, 1] * sd1[:, 0])
+    e1 = np.asarray(sc.v1) - np.asarray(sc.v0)
+    e2 = np.asarray(sc.v2) - np.asarray(sc.v0)
+    w_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    if atlas is not None:
+        tdim = np.asarray(atlas.table)[np.clip(np.asarray(sc.texnum), 0, None)]
+        tex_px = np.maximum(tdim[:, 2] * tdim[:, 3], 1).astype(np.float64)
+    else:
+        tex_px = np.full((T,), 64.0 * 64.0)
+    attr[:, 35] = np.sqrt(
+        uv_area * tex_px / np.maximum(w_area, 1e-9)
+    ).astype(np.float32)
 
     return AccelScene(
         scene=scene,
@@ -199,4 +216,7 @@ def scene_features(scene: Scene, uniforms=None):
         has_gloss=bool(((np.asarray(scene.gloss_texnum) > 0) & valid).any()),
         has_warp=bool(warp),
         has_emissive_tex=bool(emis.any()),
+        has_normalmap=bool(
+            ((np.asarray(scene.normal_texnum) > 0) & valid).any()
+        ),
     )

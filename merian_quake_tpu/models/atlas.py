@@ -21,6 +21,7 @@ def pack_textures(
     srgb: list[bool] | None = None,
     max_textures: int = materials.MAX_GLTEXTURES,
     dtype=jnp.float32,
+    mip_levels: int = 4,
 ) -> TextureAtlas:
     """Shelf-pack RGBA uint8 (or float) textures into one atlas.
 
@@ -52,7 +53,10 @@ def pack_textures(
             t = np.concatenate([rgb, t[..., 3:4]], -1)
         norm.append(t)
 
-    # Shelf packing, tallest first (stable order preserved via index sort).
+    # Shelf packing, tallest first (stable order preserved via index
+    # sort). Rects are aligned to 2^mip_levels so downsampled levels
+    # never bleed across texture boundaries.
+    align = 1 << mip_levels
     order = sorted(range(len(norm)), key=lambda i: -norm[i].shape[0])
     atlas_w = 1
     total_area = sum(t.shape[0] * t.shape[1] for t in norm)
@@ -65,31 +69,44 @@ def pack_textures(
         w *= 2
     atlas_w = w
 
+    up = lambda v: -(-v // align) * align
     table = np.zeros((max_textures, 4), np.int32)
     placements = {}
     x = y = shelf_h = 0
     for i in order:
         t = norm[i]
         th, tw = t.shape[:2]
-        if x + tw > atlas_w:
-            y += shelf_h
+        if x + up(tw) > atlas_w:
+            y += up(shelf_h)
             x = 0
             shelf_h = 0
         placements[i] = (x, y)
         table[i] = (x, y, tw, th)
         shelf_h = max(shelf_h, th)
-        x += tw
-    atlas_h = y + shelf_h
-    # pad to multiple of 8 rows (TPU sublane alignment)
-    atlas_h = -(-atlas_h // 8) * 8
+        x += up(tw)
+    atlas_h = y + up(shelf_h)
+    atlas_h = max(-(-atlas_h // 8) * 8, align)
 
     data = np.zeros((atlas_h, atlas_w, 4), np.float32)
     for i, t in enumerate(norm):
         px, py = placements[i]
         data[py : py + t.shape[0], px : px + t.shape[1]] = t
 
+    # mip chain by 2x2 box filter of the aligned atlas; texture regions
+    # stay separated thanks to the 2^mip_levels rect alignment
+    mips = []
+    cur = data
+    for _ in range(mip_levels):
+        h2, w2 = cur.shape[0] // 2, cur.shape[1] // 2
+        if h2 < 1 or w2 < 1:
+            break
+        cur = cur[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, 4).mean((1, 3))
+        mips.append(jnp.asarray(cur, dtype))
+
     return TextureAtlas(
-        data=jnp.asarray(data, dtype), table=jnp.asarray(table)
+        data=jnp.asarray(data, dtype),
+        table=jnp.asarray(table),
+        mips=tuple(mips),
     )
 
 
@@ -143,6 +160,38 @@ def sample_bilinear(atlas: TextureAtlas, texnum, uv):
     top = c00 * (1 - ax) + c10 * ax
     bot = c01 * (1 - ax) + c11 * ax
     return top * (1 - ay) + bot * ay
+
+
+def _sample_level(atlas: TextureAtlas, level: int, texnum, uv):
+    """Nearest sample at a given mip level (rect scaled by >> level)."""
+    if level == 0:
+        return sample_nearest(atlas, texnum, uv)
+    data = atlas.mips[level - 1]
+    rect = jnp.take(
+        atlas.table, jnp.clip(texnum, 0, atlas.table.shape[0] - 1), axis=0
+    ) >> level
+    x, y, w, h = rect[..., 0], rect[..., 1], rect[..., 2], rect[..., 3]
+    w = jnp.maximum(w, 1)
+    h = jnp.maximum(h, 1)
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    tx = x + jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
+    ty = y + jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
+    flat = data.reshape(-1, 4)
+    return jnp.take(flat, ty * data.shape[1] + tx, axis=0).astype(jnp.float32)
+
+
+def sample_mip(atlas: TextureAtlas, texnum, uv, lod):
+    """Nearest-mip sampling by per-ray level-of-detail (≈ textureGrad
+    at the first hit, raytrace.glsl:232-245 — ray-cone flavored)."""
+    levels = atlas.num_levels
+    if levels == 1:
+        return sample_nearest(atlas, texnum, uv)
+    li = jnp.clip(jnp.round(lod).astype(jnp.int32), 0, levels - 1)
+    out = _sample_level(atlas, 0, texnum, uv)
+    for l in range(1, levels):
+        out = jnp.where((li == l)[..., None], _sample_level(atlas, l, texnum, uv), out)
+    return out
 
 
 def sample(atlas: TextureAtlas, texnum, uv, bilinear: bool = True):

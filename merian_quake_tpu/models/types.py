@@ -24,16 +24,19 @@ CLUSTER_SIZE = 128
 
 
 class TextureAtlas(NamedTuple):
-    """All scene textures packed into one 2D atlas (single mip level 0).
+    """All scene textures packed into one 2D atlas with a mip chain.
 
-    ``data``: bf16[H, W, 4] linear RGBA (sRGB decode and the reference's
-    pow(1/1.2) albedo boost folded in at build time, raytrace.glsl:289).
-    ``table``: i32[MAX_TEX, 4] = (x, y, w, h) per texture id; w == 0
-    marks an unused slot.
+    ``data``: f32[H, W, 4] linear RGBA level 0 (sRGB decode and the
+    reference's pow(1/1.2) albedo boost folded in at build time,
+    raytrace.glsl:289). ``mips``: tuple of coarser levels (level l has
+    dimensions >> l; rects are 2^levels-aligned so levels never bleed
+    across texture boundaries). ``table``: i32[MAX_TEX, 4] =
+    (x, y, w, h) per texture id at level 0; w == 0 marks unused.
     """
 
     data: jnp.ndarray
     table: jnp.ndarray
+    mips: tuple = ()
 
     @property
     def width(self) -> int:
@@ -42,6 +45,10 @@ class TextureAtlas(NamedTuple):
     @property
     def height(self) -> int:
         return self.data.shape[0]
+
+    @property
+    def num_levels(self) -> int:
+        return 1 + len(self.mips)
 
 
 class Scene(NamedTuple):
@@ -154,6 +161,7 @@ class SceneFeatures(NamedTuple):
     has_gloss: bool = False  # any gloss/roughness maps
     has_warp: bool = False  # any lava/slime/tele/water UV warp
     has_emissive_tex: bool = True  # any sprite/tele/waterfall surfaces
+    has_normalmap: bool = False  # any tangent-space normal maps
 
 
 class RenderConfig(NamedTuple):

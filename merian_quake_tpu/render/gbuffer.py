@@ -58,9 +58,12 @@ def render_gbuffer(
     n = wi.shape[0]
     pos = jnp.broadcast_to(uniforms.cam_x, (n, 3))
 
+    # ray-cone mip selection on the first hit (the reference's
+    # ENABLE_ALBEDO_MIPMAP textureGrad path, gbuffer.comp:92-97)
+    pixel_cone = 2.0 * uniforms.fov_tan_half / W
     res = trace_ray(
         accel, atlas, uniforms, pos, wi, bilinear=config.bilinear,
-        features=config.features,
+        pixel_cone=pixel_cone, features=config.features,
     )
     hit = res.hit
 

@@ -39,6 +39,8 @@ _A_PV0, _A_PV1, _A_PV2 = slice(9, 12), slice(12, 15), slice(15, 18)
 _A_ST = slice(18, 24)
 _A_TEX, _A_FB, _A_GLOSS, _A_FLAGS = 24, 25, 26, 27
 _A_SOLID_ALB, _A_SOLID_EMM = slice(28, 31), slice(31, 34)
+_A_NORMAL = 34
+_A_TEXEL_DENSITY = 35
 
 
 def _classic_sky(atlas: TextureAtlas, uniforms: Uniforms, w: jnp.ndarray):
@@ -140,16 +142,20 @@ def trace_ray(
     wi: jnp.ndarray,
     bilinear: bool = False,
     chunk: int = 128,
+    pixel_cone=None,
     features: SceneFeatures = SceneFeatures(
         sky_mode="cubemap", has_fb=True, has_gloss=True, has_warp=True,
-        has_emissive_tex=True,
+        has_emissive_tex=True, has_normalmap=True,
     ),
 ) -> TraceResult:
     """Trace from ``pos`` along ``wi`` and shade the hit.
 
     ``features`` (static) compiles out unused material paths; the
     all-on default is always correct, scene-derived flags are faster
-    (accel.build.scene_features).
+    (accel.build.scene_features). ``pixel_cone`` (tan of the per-pixel
+    angular radius) enables ray-cone mip selection on the albedo/
+    emission fetches — the first-hit textureGrad path of the reference
+    (raytrace.glsl:232-245), with cones instead of ray differentials.
     """
     hr = trace_nearest(accel, atlas, pos, wi, 0.0, T_MAX, chunk=chunk)
     n = pos.shape[0]
@@ -184,7 +190,63 @@ def trace_ray(
         uv = _warp_uv(uv, uniforms.cl_time, flags)
 
     texnum = attr[:, _A_TEX].astype(jnp.int32)
-    albedo_tex = atlas_mod.sample(atlas, texnum, uv, bilinear=bilinear)[..., :3]
+    use_mips = pixel_cone is not None and atlas.num_levels > 1
+    if use_mips:
+        cos_i = jnp.abs(linalg.dot(geo_n, wi))
+        footprint = (
+            t_hit
+            * pixel_cone
+            * attr[:, _A_TEXEL_DENSITY]
+            / jnp.maximum(cos_i, 0.1)
+        )
+        lod = jnp.log2(jnp.maximum(footprint, 1.0))
+        albedo_tex = atlas_mod.sample_mip(atlas, texnum, uv, lod)[..., :3]
+    else:
+        albedo_tex = atlas_mod.sample(atlas, texnum, uv, bilinear=bilinear)[
+            ..., :3
+        ]
+
+    # ---- tangent-space normal maps (brush models, raytrace.glsl:249-274) ----
+    normal = geo_n
+    if features.has_normalmap:
+        nm_texnum = attr[:, _A_NORMAL].astype(jnp.int32)
+        tn = (
+            atlas_mod.sample(atlas, jnp.maximum(nm_texnum, 0), uv, bilinear=False)[
+                ..., :3
+            ]
+            - 0.5
+        ) * 2.0
+        # tangent frame from the UV parameterization:
+        # dudv0 = v2-v0, dudv1 = v1-v0; st_dudv = (st2-st0, st1-st0)
+        dudv0 = v2 - v0
+        dudv1 = v1 - v0
+        sd0 = st[:, 2] - st[:, 0]
+        sd1 = st[:, 1] - st[:, 0]
+        st_det = sd0[:, 0] * sd1[:, 1] - sd1[:, 0] * sd0[:, 1]
+        ok_det = jnp.abs(st_det) > 1e-8
+        inv_det = 1.0 / jnp.where(ok_det, st_det, 1.0)
+        du = linalg.normalize(
+            (sd1[:, 1:2] * dudv0 - sd0[:, 1:2] * dudv1) * inv_det[:, None]
+        )
+        dv = -linalg.normalize(
+            (-sd1[:, 0:1] * dudv0 + sd0[:, 0:1] * dudv1) * inv_det[:, None]
+        )
+        du = jnp.where(ok_det[:, None], du, dudv0)
+        dv = jnp.where(ok_det[:, None], dv, dudv1)
+        perturbed = linalg.normalize(
+            du * tn[:, 0:1] + dv * tn[:, 1:2] + geo_n * tn[:, 2:3]
+        )
+        # Keller et al. [2017] reflection workaround
+        r = linalg.reflect(wi, perturbed)
+        below = linalg.dot(r, geo_n) < 0.0
+        fixed = linalg.normalize(
+            -wi
+            + linalg.normalize(
+                r - geo_n * linalg.dot(geo_n, r)[..., None]
+            )
+        )
+        perturbed = jnp.where(below[:, None], fixed, perturbed)
+        normal = jnp.where((nm_texnum > 0)[:, None], perturbed, geo_n)
 
     # ---- material decode ----
     roughness = jnp.full((n,), materials.DEFAULT_ROUGHNESS)
@@ -215,9 +277,14 @@ def trace_ray(
         emission = jnp.where(sprite_tele[..., None], boosted, emission)
     if features.has_fb:
         fb_texnum = attr[:, _A_FB].astype(jnp.int32)
-        fb_col = atlas_mod.sample(
-            atlas, jnp.maximum(fb_texnum, 0), uv, bilinear=bilinear
-        )[..., :3]
+        if use_mips:
+            fb_col = atlas_mod.sample_mip(
+                atlas, jnp.maximum(fb_texnum, 0), uv, lod
+            )[..., :3]
+        else:
+            fb_col = atlas_mod.sample(
+                atlas, jnp.maximum(fb_texnum, 0), uv, bilinear=bilinear
+            )[..., :3]
         fb_emission = color_ops.ldr_to_hdr(fb_col)
         default_mat = ~(solid | waterfall | sprite_tele | is_sky)
         has_fb = default_mat & (fb_texnum > 0) & (fb_emission.max(axis=-1) > 0.0)
@@ -231,7 +298,9 @@ def trace_ray(
     sky_pos = pos + wi * T_MAX
     hit_pos = jnp.where(is_sky[..., None], sky_pos, hit_pos)
     prev_pos = jnp.where(is_sky[..., None], sky_pos, prev_pos)
-    normal = jnp.where(is_sky[..., None], -wi, geo_n)
+    if not features.has_normalmap:
+        normal = geo_n
+    normal = jnp.where(is_sky[..., None], -wi, normal)
     geo_n = jnp.where(is_sky[..., None], -wi, geo_n)
 
     contribution = throughput * emission

@@ -142,3 +142,30 @@ def test_cluster_aabbs_cover_candidates():
             continue
         assert (pts >= lo[ci] - 1e-3).all()
         assert (pts <= hi[ci] + 1e-3).all()
+
+
+def test_mip_selection_far_surfaces():
+    """Far hits with ray cones must sample coarser mips (checker → grey)."""
+    import jax.numpy as jnp
+    from merian_quake_tpu.models.procedural import _SoupBuilder, _checker_tex, _const_tex
+    from merian_quake_tpu.models.atlas import pack_textures, sample_mip
+    from merian_quake_tpu.models.types import default_uniforms
+    from merian_quake_tpu.render.trace import trace_ray
+
+    b = _SoupBuilder()
+    b.quad((0, -5000, -10), (10000, 0, 0), (0, 10000, 0), uv_scale=(500, 500), texnum=1)
+    scene = b.build()
+    atlas = pack_textures(
+        [_const_tex((255,) * 3, 1), _checker_tex((255, 255, 255), (0, 0, 0), 32, 8)]
+    )
+    assert atlas.num_levels > 1
+    acc = build_accel(scene, atlas)
+    u = default_uniforms(cam_x=(0, 0, 100), cam_w=(1, 0, -0.02))
+    o = jnp.asarray([[0.0, 0.0, 100.0], [0.0, 0.0, 100.0]])
+    d = jnp.asarray([[0.9999, 0.0, -0.0141], [0.1, 0.0, -0.995]])  # far, near
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    res = trace_ray(acc, atlas, u, o, d, pixel_cone=jnp.float32(0.001))
+    far, near = np.asarray(res.hit.albedo)
+    # far grazing hit: averaged checker ≈ mid-grey; near hit: near 0 or 1
+    assert 0.2 < far[0] < 0.8, far
+    assert near[0] < 0.2 or near[0] > 0.8, near
