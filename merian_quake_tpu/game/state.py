@@ -19,6 +19,8 @@ from typing import Callable
 
 import numpy as np
 
+from .particles import particles_to_soup, sprite_quad
+
 from ..models import materials
 from ..models.atlas import pack_textures
 from ..models.mdl import AliasModel
@@ -89,6 +91,10 @@ class GameState:
         self.camera_path: Callable | None = None  # t -> (pos, fwd, up)
         self._extra_textures: list[np.ndarray] = []
         self._prev_dynamic: np.ndarray | None = None
+        self.sprites: list = []  # (SpriteModel, origin, texnum, frame_rate)
+        # particles: (origins f32[P,3], palette color indices u8[P])
+        self.particles: tuple | None = None
+        self.reproducible: bool = True
 
     # ---- content ----
     def add_alias_entity(self, model: AliasModel, palette=None, **kw) -> Entity:
@@ -105,6 +111,25 @@ class GameState:
         ent = Entity(model=model, texnum=-(len(self._extra_textures) - (1 if fbnum else 0)), fb_texnum=fbnum, **kw)
         self.entities.append(ent)
         return ent
+
+    def add_sprite_entity(self, sprite, origin, palette=None, frame_rate=10.0):
+        """Register a sprite (billboard rebuilt per frame facing the
+        camera; always emissive, add_geo_sprite semantics)."""
+        palette = palette if palette is not None else pal_mod.default_palette()
+        rgba = pal_mod.indexed_to_rgba(
+            sprite.frames[0].pixels, palette, fence=True
+        )
+        self._extra_textures.append(rgba)
+        texnum = -len(self._extra_textures)
+        self.sprites.append(
+            [sprite, np.asarray(origin, np.float32), texnum, frame_rate]
+        )
+
+    def set_particles(self, origins, color_indices):
+        self.particles = (
+            np.asarray(origins, np.float32),
+            np.asarray(color_indices, np.uint8),
+        )
 
     def rebuild_atlas(self):
         """Repack the atlas with entity skins appended (worldspawn-time
@@ -127,6 +152,9 @@ class GameState:
                 ent.texnum = n_base - ent.texnum - 1
             if ent.fb_texnum < 0:
                 ent.fb_texnum = n_base - ent.fb_texnum - 1
+        for spr in self.sprites:
+            if spr[2] < 0:
+                spr[2] = n_base - spr[2] - 1
         atlas = pack_textures(imgs, srgb=[False] * len(imgs))
         self.static_bundle = self.static_bundle._replace(atlas=atlas)
 
@@ -149,6 +177,9 @@ class GameState:
         dyn_uv = np.zeros((cap, 3, 2), np.float32)
         dyn_tex = np.zeros((cap,), np.int32)
         dyn_fb = np.zeros((cap,), np.int32)
+        dyn_flags = np.zeros((cap,), np.int32)
+        dyn_salb = np.zeros((cap, 3), np.float32)
+        dyn_semm = np.zeros((cap, 3), np.float32)
         dyn_valid = np.zeros((cap,), bool)
         cursor = 0
         for ent in self.entities:
@@ -169,6 +200,44 @@ class GameState:
             dyn_valid[cursor : cursor + n] = True
             cursor += n
 
+        # sprites (camera-dependent billboards, quake_helpers.cpp:471-626)
+        cam_now = (
+            np.asarray(self.camera_path(self.time)[0], np.float32)
+            if self.camera_path is not None
+            else np.asarray(self.static_bundle.uniforms.cam_x)
+        )
+        for sprite, origin, texnum, frame_rate in self.sprites:
+            fi = int(self.time * frame_rate)
+            sv0, sv1, sv2, suv = sprite_quad(sprite, fi, origin, cam_now)
+            n = min(4, cap - cursor)
+            if n <= 0:
+                break
+            sl = slice(cursor, cursor + n)
+            dyn_v[sl, 0], dyn_v[sl, 1], dyn_v[sl, 2] = sv0[:n], sv1[:n], sv2[:n]
+            dyn_prev[sl] = dyn_v[sl]
+            dyn_uv[sl] = suv[:n]
+            dyn_tex[sl] = texnum
+            dyn_flags[sl] = materials.MAT_FLAGS_SPRITE
+            dyn_valid[sl] = True
+            cursor += n
+
+        # particles (tetrahedra, quake_helpers.cpp:50-216)
+        if self.particles is not None and cursor < cap:
+            pv0, pv1, pv2, palb, pemm = particles_to_soup(
+                self.particles[0],
+                self.particles[1],
+                reproducible=self.reproducible,
+            )
+            n = min(pv0.shape[0], cap - cursor)
+            sl = slice(cursor, cursor + n)
+            dyn_v[sl, 0], dyn_v[sl, 1], dyn_v[sl, 2] = pv0[:n], pv1[:n], pv2[:n]
+            dyn_prev[sl] = dyn_v[sl]
+            dyn_flags[sl] = materials.MAT_FLAGS_SOLID
+            dyn_salb[sl] = palb[:n]
+            dyn_semm[sl] = pemm[:n]
+            dyn_valid[sl] = True
+            cursor += n
+
         # assemble: static soup + dynamic block, padded to cluster size
         sv = np.asarray
         n_static = static.num_tris
@@ -181,18 +250,12 @@ class GameState:
             st=np.concatenate([sv(static.st), dyn_uv]),
             texnum=np.concatenate([sv(static.texnum), dyn_tex]),
             fb_texnum=np.concatenate([sv(static.fb_texnum), dyn_fb]),
-            flags=np.concatenate(
-                [sv(static.flags), np.zeros((cap,), np.int32)]
-            ),
+            flags=np.concatenate([sv(static.flags), dyn_flags]),
             alpha=np.concatenate(
                 [sv(static.alpha), np.full((cap,), -1.0, np.float32)]
             ),
-            solid_albedo=np.concatenate(
-                [sv(static.solid_albedo), np.zeros((cap, 3), np.float32)]
-            ),
-            solid_emission=np.concatenate(
-                [sv(static.solid_emission), np.zeros((cap, 3), np.float32)]
-            ),
+            solid_albedo=np.concatenate([sv(static.solid_albedo), dyn_salb]),
+            solid_emission=np.concatenate([sv(static.solid_emission), dyn_semm]),
             pv0=np.concatenate([sv(static.pv0), dyn_prev[:, 0]]),
             pv1=np.concatenate([sv(static.pv1), dyn_prev[:, 1]]),
             pv2=np.concatenate([sv(static.pv2), dyn_prev[:, 2]]),

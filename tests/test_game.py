@@ -94,3 +94,36 @@ def test_hud_overlay():
     assert abs(float(c[0]) - (1.0 - float(out[5, 5, 0]))) < 0.35
     # health bar area differs from background
     assert np.abs(out[H - 5] - out[5]).max() > 0.05
+
+
+def test_sprites_and_particles_extraction():
+    from merian_quake_tpu.models.spr import load_spr, write_spr
+    from merian_quake_tpu.models import materials
+
+    gs = GameState(cornell_box(), dynamic_capacity=256)
+    spr_img = np.full((8, 8), 230, np.uint8)  # fullbright
+    sprite = load_spr(write_spr([spr_img]), "flame")
+    gs.add_sprite_entity(sprite, (250.0, 250.0, 100.0))
+    gs.rebuild_atlas()
+    # bright + dark particles
+    gs.set_particles(
+        np.asarray([[200.0, 200.0, 50.0], [220.0, 200.0, 50.0]], np.float32),
+        np.asarray([250, 40], np.uint8),
+    )
+    scene, uniforms = gs.step()
+    n_static = gs.static_bundle.scene.num_tris
+    flags = np.asarray(scene.flags)[n_static:]
+    valid = np.asarray(scene.valid)[n_static:]
+    assert (flags[valid] == materials.MAT_FLAGS_SPRITE).sum() == 4
+    assert (flags[valid] == materials.MAT_FLAGS_SOLID).sum() == 8  # 2 tets
+    emm = np.asarray(scene.solid_emission)[n_static:][valid]
+    assert emm.max() > 0  # bright particle emits
+    # reproducible: same geometry across re-extracts at frozen time
+    gs2 = GameState(cornell_box(), dynamic_capacity=256, freeze_time=True)
+    gs2.set_particles(
+        np.asarray([[200.0, 200.0, 50.0]], np.float32),
+        np.asarray([250], np.uint8),
+    )
+    s1, _ = gs2.step()
+    s2, _ = gs2.step()
+    np.testing.assert_array_equal(np.asarray(s1.v0), np.asarray(s2.v0))
