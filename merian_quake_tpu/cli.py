@@ -49,6 +49,37 @@ def _cmd_render(args) -> int:
     return 0
 
 
+def _cmd_preset(args) -> int:
+    from .presets import PRESETS, run_preset
+
+    if args.name == "list":
+        for name, pr in PRESETS.items():
+            print(f"{name}: {pr.description}")
+        return 0
+    state, outputs, spf = run_preset(args.name, frames=args.frames, out=args.out)
+    print(f"{args.name}: {spf * 1000:.1f} ms/frame (steady state)")
+    if args.out:
+        print(f"wrote {args.out}")
+    return 0
+
+
+def _cmd_error(args) -> int:
+    import numpy as np
+
+    from .utils.image import load_pfm, load_png
+    from .utils.metrics import mae, relmse, rmse
+
+    load = lambda p: (
+        load_pfm(p) if p.endswith(".pfm") else load_png(p).astype(np.float32) / 255
+    )
+    img, ref = load(args.image), load(args.reference)
+    print(
+        f"rmse={rmse(img, ref):.6f} mae={mae(img, ref):.6f} "
+        f"relmse={relmse(img, ref):.6f}"
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="merian-quake-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -63,6 +94,17 @@ def main(argv=None) -> int:
     pr.add_argument("--seed", type=int, default=1337)
     pr.add_argument("--out", default="/tmp/mq_tpu_render.png")
     pr.set_defaults(fn=_cmd_render)
+    pp = sub.add_parser("preset", help="run a tracked benchmark config")
+    pp.add_argument("name", help="config1..config5 or 'list'")
+    pp.add_argument("--frames", type=int, default=None)
+    pp.add_argument("--out", default=None)
+    pp.set_defaults(fn=_cmd_preset)
+
+    pe = sub.add_parser("error", help="compare an image against a reference")
+    pe.add_argument("image")
+    pe.add_argument("reference")
+    pe.set_defaults(fn=_cmd_error)
+
     args = p.parse_args(argv)
     return args.fn(args)
 

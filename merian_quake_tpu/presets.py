@@ -1,0 +1,180 @@
+"""The five tracked benchmark configurations (BASELINE.json).
+
+Quake game assets (id1/e1m1/ad_*) are not distributable, so each config
+substitutes the closest procedural scene while keeping the rendering
+setup (integrator, resolution, spp, camera motion, volumetrics,
+animated entities) faithful; loading a real .bsp via
+models.extract.scene_from_bsp drops straight into the same presets.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from .models.procedural import SceneBundle, alcove, cornell_box, outdoor_court
+from .models.types import RenderConfig
+from .render.mcpg import MCPGConfig
+from .render.mcpg.volume import VolumeConfig
+from .render.restir import ReSTIRConfig
+from .render.ssmm import SSMMConfig
+
+
+class Preset(NamedTuple):
+    name: str
+    description: str
+    config: RenderConfig
+    integ_config: object
+    make_bundle: object  # () -> SceneBundle
+    make_game: object  # (bundle) -> GameState | None  (moving content)
+    frames: int
+
+
+def _orbit_game(bundle: SceneBundle, center, radius, height, animated=False):
+    from .game.state import GameState, orbit_camera
+
+    def make(b):
+        gs = GameState(b, dynamic_capacity=256)
+        gs.camera_path = orbit_camera(center, radius, height, look_at=center)
+        if animated:
+            from .models.mdl import load_mdl, write_mdl
+
+            skin = np.full((8, 8), 240, np.uint8)
+            frames = np.stack(
+                [
+                    np.asarray(
+                        [[0, 0, 0], [40, 0, 0], [0, 40, 0], [0, 0, 50]],
+                        np.float32,
+                    )
+                    + [0, 0, 10 * i]
+                    for i in range(4)
+                ]
+            )
+            mdl = load_mdl(
+                write_mdl(
+                    [skin],
+                    np.asarray([0, 7, 3, 1]),
+                    np.asarray([0, 0, 7, 3]),
+                    np.zeros(4, np.int64),
+                    np.asarray([[0, 1, 2], [0, 2, 3]]),
+                    np.asarray([1, 1]),
+                    frames,
+                    np.asarray([0.25, 0.25, 0.25], np.float32),
+                    np.zeros(3, np.float32),
+                ),
+                "bouncer",
+            )
+            gs.add_alias_entity(
+                mdl, origin=np.asarray(center, np.float32) + [0, 0, 20]
+            )
+            gs.rebuild_atlas()
+        return gs
+
+    return make
+
+
+PRESETS = {
+    # (1) id1 start, static camera, plain PT, 1 spp, 640x360
+    "config1": Preset(
+        "config1",
+        "static camera, plain unidirectional PT, 1 spp, 640x360",
+        RenderConfig(width=640, height=360, spp=1, max_path_length=3),
+        None,
+        cornell_box,
+        None,
+        16,
+    ),
+    # (2) scripted camera path, 4 spp accumulation, 1280x720
+    "config2": Preset(
+        "config2",
+        "scripted camera path, 4 spp accumulation, 1280x720",
+        RenderConfig(width=1280, height=720, spp=4, max_path_length=3),
+        None,
+        alcove,
+        _orbit_game(None, (256, 256, 100), 160, 60),
+        16,
+    ),
+    # (3) ReSTIR DI temporal+spatial, 1080p
+    "config3": Preset(
+        "config3",
+        "ReSTIR DI with temporal+spatial reuse, 1080p",
+        RenderConfig(
+            width=1920, height=1080, spp=1, integrator="restir", denoise=True
+        ),
+        ReSTIRConfig(spatial_reuse_iterations=2, temporal_bias_correction=1),
+        cornell_box,
+        None,
+        8,
+    ),
+    # (4) SSMM flythrough, 1080p
+    "config4": Preset(
+        "config4",
+        "screen-space mixture-model guiding, flythrough, 1080p",
+        RenderConfig(
+            width=1920, height=1080, spp=1, integrator="ssmm", denoise=True
+        ),
+        SSMMConfig(),
+        outdoor_court,
+        _orbit_game(None, (512, 384, 150), 300, 80),
+        8,
+    ),
+    # (5) MCPG + single scattering, animated entities, 1080p
+    "config5": Preset(
+        "config5",
+        "MCPG + single-scattering volumetrics, animated entities, 1080p",
+        RenderConfig(
+            width=1920, height=1080, spp=2, integrator="mcpg", denoise=True
+        ),
+        MCPGConfig(volume=VolumeConfig(volume_spp=1)),
+        lambda: outdoor_court(fog_mu_t=0.002),
+        _orbit_game(None, (512, 384, 150), 280, 90, animated=True),
+        8,
+    ),
+}
+
+
+def run_preset(name: str, frames: int | None = None, out: str | None = None):
+    """Run a preset; returns (state, outputs, seconds_per_frame)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from .accel.build import build_accel, scene_features
+    from .renderer import init_state, render_frame
+
+    p = PRESETS[name]
+    frames = frames if frames is not None else p.frames
+    bundle = p.make_bundle()
+    config = p.config._replace(
+        features=scene_features(bundle.scene, bundle.uniforms)
+    )
+    game = p.make_game(bundle) if p.make_game else None
+
+    state = init_state(config, p.integ_config)
+    outputs = None
+    if game is None:
+        accel = build_accel(bundle.scene, bundle.atlas)
+    t_total = 0.0
+    uniforms = bundle.uniforms
+    for i in range(frames):
+        if game is not None:
+            scene, uniforms = game.step(1.0 / 30.0)
+            accel = build_accel(scene, game.static_bundle.atlas)
+            atlas = game.static_bundle.atlas
+        else:
+            uniforms = uniforms._replace(frame=jnp.uint32(i))
+            atlas = bundle.atlas
+        t0 = time.perf_counter()
+        state, outputs = render_frame(
+            accel, atlas, uniforms, config, state, p.integ_config
+        )
+        jax.block_until_ready(outputs["ldr"])
+        if i > 0:  # skip compile frame
+            t_total += time.perf_counter() - t0
+    spf = t_total / max(frames - 1, 1)
+    if out:
+        from .utils.image import save_png
+
+        save_png(out, np.asarray(outputs["ldr"]))
+    return state, outputs, spf
