@@ -119,13 +119,23 @@ def _grate_tex(size=32):
 
 
 def _sky_tex(size=64, seed=7):
+    """Quake-ish sky layer: dark blue-purple base with brighter cloud
+    blotches (values stay low — the classic-sky shader boosts them with
+    10·(2^(3.5·tex)−1), raytrace.glsl:43)."""
     rng = np.random.default_rng(seed)
-    base = rng.uniform(0.1, 0.45, (size // 8, size // 8, 3))
-    up = np.kron(base, np.ones((8, 8))[..., None])
+    yy, xx = np.mgrid[0:size, 0:size] / size
+    clouds = np.zeros((size, size))
+    for octave in (4, 8, 16):
+        base = rng.uniform(0, 1, (octave, octave))
+        up = np.kron(base, np.ones((size // octave, size // octave)))
+        clouds += up / octave * 4
+    clouds = (clouds - clouds.min()) / (np.ptp(clouds) + 1e-9)
     t = np.zeros((size, size, 4), np.uint8)
-    t[..., :3] = (up * 255).astype(np.uint8)
-    t[..., 3] = rng.uniform(0, 1, (size, size)) < 0.4
-    t[..., 3] *= 255
+    base_col = np.asarray([0.05, 0.04, 0.09])
+    cloud_col = np.asarray([0.22, 0.20, 0.26])
+    rgb = base_col + (cloud_col - base_col) * clouds[..., None]
+    t[..., :3] = (rgb * 255).astype(np.uint8)
+    t[..., 3] = (clouds > 0.55) * 255  # front layer alpha = clouds
     return t
 
 
