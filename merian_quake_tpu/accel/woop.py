@@ -140,29 +140,62 @@ def _intersect_tile(rays_ref, w_ref, cand_ref, out_ref, idx_ref, j):
 def _cull_mask(rays, cluster_lo, cluster_hi, ray_block):
     """Conservative (ray-block × cluster) reachability mask.
 
-    For a block of rays with origin box O, direction box D and max
-    parameter t̂, the reachable region per axis is
-    [O_lo + t̂·min(D_lo, 0), O_hi + t̂·max(D_hi, 0)]; a cluster whose
-    AABB misses it on any axis cannot be hit by ANY ray in the block.
-    This is the tile-granular second level of the structure — hierarchy
-    at block granularity instead of a divergent per-ray stack walk.
-    Coherent blocks (primary/shadow rays) cull everything behind and
-    beside them; fully incoherent blocks degrade to the dense sweep.
+    Interval slab test over the whole ray bundle (packet-tracing
+    style): for a block with origin box O, direction box D and max
+    parameter t̂, each axis k with sign-consistent directions bounds
+    the parameter interval during which ANY bundle ray can be inside
+    the cluster slab:
+
+        t_enter_k ≥ (c_lo − O_hi)/D_hi   (fastest approach from the
+        t_exit_k  ≤ (c_hi − O_lo)/D_lo    nearest origin, etc.)
+
+    (mirrored for negative direction intervals; sign-mixed axes give
+    no constraint). The cluster is reachable iff the intersection of
+    the per-axis intervals with [0, t̂] is non-empty — this captures
+    the frustum correlation that axis-aligned reach boxes miss. This
+    is the tile-granular second level of the structure — hierarchy at
+    block granularity instead of a divergent per-ray stack walk.
+    Incoherent blocks degrade gracefully toward the dense sweep.
     """
     n = rays.shape[1]
     nb = n // ray_block
     r = rays.reshape(8, nb, ray_block)
-    o_lo = r[0:3].min(axis=2).T  # (nb, 3)
-    o_hi = r[0:3].max(axis=2).T
-    d_lo = r[3:6].min(axis=2).T
-    d_hi = r[3:6].max(axis=2).T
-    t_hat = r[7].max(axis=1)[:, None]  # (nb, 1)
-    reach_lo = o_lo + t_hat * jnp.minimum(d_lo, 0.0)
-    reach_hi = o_hi + t_hat * jnp.maximum(d_hi, 0.0)
-    overlap = (reach_lo[:, None] <= cluster_hi[None]) & (
-        reach_hi[:, None] >= cluster_lo[None]
+    o_lo = r[0:3].min(axis=2).T[:, None]  # (nb, 1, 3)
+    o_hi = r[0:3].max(axis=2).T[:, None]
+    d_lo = r[3:6].min(axis=2).T[:, None]
+    d_hi = r[3:6].max(axis=2).T[:, None]
+    t_hat = r[7].max(axis=1)[:, None, None]  # (nb, 1, 1)
+    c_lo = cluster_lo[None]  # (1, nc, 3)
+    c_hi = cluster_hi[None]
+
+    pos = d_lo > 1e-12  # all-positive direction interval
+    neg = d_hi < -1e-12
+    mixed = ~(pos | neg)
+
+    safe_hi = jnp.where(pos, d_hi, 1.0)
+    safe_lo = jnp.where(pos, jnp.maximum(d_lo, 1e-12), 1.0)
+    t_in_pos = (c_lo - o_hi) / safe_hi
+    t_out_pos = (c_hi - o_lo) / safe_lo
+
+    safe_lo_n = jnp.where(neg, d_lo, -1.0)
+    safe_hi_n = jnp.where(neg, jnp.minimum(d_hi, -1e-12), -1.0)
+    t_in_neg = (c_hi - o_lo) / safe_lo_n
+    t_out_neg = (c_lo - o_hi) / safe_hi_n
+
+    t_in = jnp.where(pos, t_in_pos, jnp.where(neg, t_in_neg, 0.0))
+    t_out = jnp.where(
+        pos, t_out_pos, jnp.where(neg, t_out_neg, jnp.inf)
     )
-    m = overlap.all(axis=-1)  # (nb, nc)
+    # mixed axes: constrain only by the static slab overlap with the
+    # origin box extended by t̂·|D| in both directions
+    reach_lo_m = o_lo + t_hat * jnp.minimum(d_lo, 0.0)
+    reach_hi_m = o_hi + t_hat * jnp.maximum(d_hi, 0.0)
+    slab_ok_m = (reach_lo_m <= c_hi) & (reach_hi_m >= c_lo)
+    t_out = jnp.where(mixed & ~slab_ok_m, -jnp.inf, t_out)
+
+    t_enter = jnp.maximum(t_in.max(axis=-1), 0.0)  # (nb, nc)
+    t_exit = jnp.minimum(t_out.min(axis=-1), t_hat[..., 0])
+    m = t_enter <= t_exit
     # bit-pack along clusters → i32 words for SMEM scalar prefetch
     nb2, nc = m.shape
     nw = (nc + 31) // 32

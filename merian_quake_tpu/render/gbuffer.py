@@ -17,6 +17,7 @@ from ..accel.build import AccelScene
 from ..models.types import RenderConfig, TextureAtlas, Uniforms
 from ..ops import camera as cam_ops
 from ..ops import linalg
+from . import layout
 from .hit import CompressedHit, compress_hit
 from .trace import trace_ray
 
@@ -45,13 +46,9 @@ def render_gbuffer(
     W/H in config define the projection; y0 may be traced)."""
     W, H = config.width, config.height
     rows = H if rows is None else rows
-    px, py = jnp.meshgrid(
-        jnp.arange(W, dtype=jnp.float32),
-        jnp.arange(rows, dtype=jnp.float32),
-        indexing="xy",
-    )
-    pxf = px.reshape(-1)
-    pyf = py.reshape(-1) + jnp.asarray(y0, jnp.float32)
+    pxi, pyi = layout.gen_pixels(W, rows, y0=y0)
+    pxf = pxi.astype(jnp.float32)
+    pyf = pyi.astype(jnp.float32)
     wi = cam_ops.ray_dir(
         pxf, pyf, W, H, uniforms.cam_u, uniforms.cam_w, uniforms.fov_tan_half
     )
@@ -68,15 +65,15 @@ def render_gbuffer(
     hit = res.hit
 
     # irradiance = emission at first hit (gbuffer.comp:104)
-    irradiance = jnp.concatenate(
-        [res.contribution, jnp.ones((n, 1))], axis=-1
-    ).reshape(rows, W, 4)
+    irradiance = layout.flat_to_image(
+        jnp.concatenate([res.contribution, jnp.ones((n, 1))], axis=-1), W, rows
+    )
 
     # albedo zeroed where emissive, × camera throughput (gbuffer.comp:107)
     emissive = (res.contribution >= 1e-5).any(axis=-1)
     albedo = hit.albedo * jnp.where(emissive[..., None], 0.0, 1.0) * res.throughput
-    albedo_img = jnp.concatenate([albedo, jnp.ones((n, 1))], axis=-1).reshape(
-        rows, W, 4
+    albedo_img = layout.flat_to_image(
+        jnp.concatenate([albedo, jnp.ones((n, 1))], axis=-1), W, rows
     )
 
     # motion vector: reproject prev_pos into the previous camera
@@ -84,7 +81,9 @@ def render_gbuffer(
     old_px, old_py, old_dz = cam_ops.project(
         old_dir, W, H, uniforms.prev_cam_u, uniforms.prev_cam_w, uniforms.fov_tan_half
     )
-    mv = jnp.stack([old_px - pxf, old_py - pyf], axis=-1).reshape(rows, W, 2)
+    mv = layout.flat_to_image(
+        jnp.stack([old_px - pxf, old_py - pyf], axis=-1), W, rows
+    )
 
     # gbuffer extras: linear z + gradients from offset-pixel ray dirs
     linear_z = linalg.distance(hit.pos, uniforms.cam_x)
@@ -109,8 +108,8 @@ def render_gbuffer(
         albedo=albedo_img,
         mv=mv,
         hits=compress_hit(hit),
-        normal=hit.normal.reshape(rows, W, 3),
-        linear_z=linear_z.reshape(rows, W),
-        z_grad=jnp.stack([zg_x, zg_y], axis=-1).reshape(rows, W, 2),
-        z_vel=z_vel.reshape(rows, W),
+        normal=layout.flat_to_image(hit.normal, W, rows),
+        linear_z=layout.flat_to_image(linear_z, W, rows),
+        z_grad=layout.flat_to_image(jnp.stack([zg_x, zg_y], axis=-1), W, rows),
+        z_vel=layout.flat_to_image(z_vel, W, rows),
     )

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ...accel.build import AccelScene
 from ...models.types import RenderConfig, TextureAtlas, Uniforms
 from ...ops import bsdf, color as color_ops, linalg, rng as rng_ops, vmf
+from .. import layout
 from ..gbuffer import GBufferOutput
 from ..hit import Hit, decompress_hit
 from ..pt import _where_hit
@@ -93,13 +94,8 @@ def render_mcpg_surface(
     mc = mstate.mc
     lc = mstate.lc
 
-    px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(rows), indexing="xy")
-    state0 = rng_ops.seed_pixel(
-        px.reshape(-1),
-        py.reshape(-1) + jnp.asarray(y0, jnp.int32),
-        uniforms.frame,
-        config.seed,
-    )
+    pxi, pyi = layout.gen_pixels(W, rows, y0=y0)
+    state0 = rng_ops.seed_pixel(pxi, pyi, uniforms.frame, config.seed)
 
     first_hit = decompress_hit(gbuf.hits)
     pixel_live = (first_hit.albedo >= 1e-7).any(axis=-1)
@@ -312,5 +308,7 @@ def render_mcpg_surface(
     upq = _cat(lambda ys: ys[1])
     zq = _cat(lambda ys: ys[2])
 
-    img = jnp.concatenate([irr, m2[..., None]], axis=-1).reshape(rows, W, 4)
+    img = layout.flat_to_image(
+        jnp.concatenate([irr, m2[..., None]], axis=-1), W, rows
+    )
     return SurfaceResult(irradiance=img, updates=upq, lc_samples=lcq, zeros=zq)

@@ -27,6 +27,7 @@ from ...ops import (
     transmittance as trans_ops,
     vmf,
 )
+from .. import layout
 from ..gbuffer import GBufferOutput
 from ..trace import trace_ray
 from . import grids
@@ -149,22 +150,20 @@ def render_volume(
     DK = vcfg.distance_mc_samples
     cam_x = uniforms.cam_x
 
-    px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
-    pxf = px.reshape(-1).astype(jnp.float32)
-    pyf = py.reshape(-1).astype(jnp.float32)
-    rng = rng_ops.seed_pixel(
-        px.reshape(-1), py.reshape(-1), uniforms.frame, config.seed + 101
-    )
+    pxi, pyi = layout.gen_pixels(W, H)
+    pxf = pxi.astype(jnp.float32)
+    pyf = pyi.astype(jnp.float32)
+    rng = rng_ops.seed_pixel(pxi, pyi, uniforms.frame, config.seed + 101)
 
-    linear_z = gbuf.linear_z.reshape(-1)
-    first_n = gbuf.normal.reshape(-1, 3)
+    linear_z = layout.image_to_flat(gbuf.linear_z, W, H)
+    first_n = layout.image_to_flat(gbuf.normal, W, H)
     first_wi = cam_ops.ray_dir(
         pxf, pyf, W, H, uniforms.cam_u, uniforms.cam_w, uniforms.fov_tan_half
     )
 
     # volume motion vectors: forward-projected prev scatter depth
     vol_mv = _forward_project(gbuf.mv, vstate.prev_volume_depth, uniforms, config)
-    mv_flat = vol_mv.reshape(-1, 2)
+    mv_flat = layout.image_to_flat(vol_mv, W, H)
 
     dmc = vstate.dist_mc
     max_t_pix = jnp.minimum(linear_z, uniforms.volume_max_t)
@@ -398,9 +397,11 @@ def render_volume(
         )
 
     spp = max(vcfg.volume_spp, 1)
-    img = jnp.concatenate(
-        [irr_acc / spp, (m2_acc / spp)[..., None]], axis=-1
-    ).reshape(H, W, 4)
+    img = layout.flat_to_image(
+        jnp.concatenate([irr_acc / spp, (m2_acc / spp)[..., None]], axis=-1),
+        W,
+        H,
+    )
 
     cat = lambda parts: jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
     extra = SurfaceResult(
@@ -409,10 +410,11 @@ def render_volume(
         lc_samples=cat(lcq_all),
         zeros=cat(zq_all),
     )
+    depth_img = layout.flat_to_image(expected_depth, W, H)
     new_vstate = VolumeState(
         dist_mc=dmc,
-        volume_depth=expected_depth.reshape(H, W),
-        prev_volume_depth=expected_depth.reshape(H, W),
+        volume_depth=depth_img,
+        prev_volume_depth=depth_img,
     )
     return img, new_vstate, extra
 
@@ -422,25 +424,27 @@ def _forward_project(surface_mv, prev_volume_depth, uniforms: Uniforms, config):
     frame's pixels to produce volume motion vectors (defaults to the
     surface MVs where no projection lands)."""
     H, W = prev_volume_depth.shape
-    py, px = jnp.meshgrid(
-        jnp.arange(H, dtype=jnp.float32),
-        jnp.arange(W, dtype=jnp.float32),
-        indexing="ij",
-    )
+    from .. import layout as _lay
+
+    pxi, pyi = _lay.gen_pixels(W, H)
+    px = pxi.astype(jnp.float32)
+    py = pyi.astype(jnp.float32)
     prev_wi = cam_ops.ray_dir(
-        px.reshape(-1),
-        py.reshape(-1),
+        px,
+        py,
         W,
         H,
         uniforms.prev_cam_u,
         uniforms.prev_cam_w,
         uniforms.fov_tan_half,
     )
-    prev_pos = uniforms.prev_cam_x + prev_wi * prev_volume_depth.reshape(-1, 1)
+    prev_flat0 = _lay.image_to_flat(prev_volume_depth, W, H)
+    prev_pos = uniforms.prev_cam_x + prev_wi * prev_flat0[:, None]
     npx, npy, dz = cam_ops.project(
         prev_pos - uniforms.cam_x, W, H, uniforms.cam_u, uniforms.cam_w,
         uniforms.fov_tan_half,
     )
+    prev_flat = prev_flat0
     nx = jnp.round(npx).astype(jnp.int32)
     ny = jnp.round(npy).astype(jnp.int32)
     ok = (
@@ -448,14 +452,14 @@ def _forward_project(surface_mv, prev_volume_depth, uniforms: Uniforms, config):
         & (nx < W)
         & (ny >= 0)
         & (ny < H)
-        & (prev_volume_depth.reshape(-1) >= 50.0)
+        & (prev_flat >= 50.0)
         & (dz > 0)
     )
-    flat_new = jnp.where(ok, ny * W + nx, H * W)
-    mv_x = px.reshape(-1) - npx
-    mv_y = py.reshape(-1) - npy
-    out = surface_mv.reshape(-1, 2)
-    out = out.at[flat_new].set(
-        jnp.stack([mv_x, mv_y], -1), mode="drop"
-    )
-    return out.reshape(H, W, 2)
+    from .. import layout as _layout
+
+    flat_new = jnp.where(ok, _layout.index_of(nx, ny, W, H), H * W)
+    mv_x = px - npx
+    mv_y = py - npy
+    out = _lay.image_to_flat(surface_mv, W, H)
+    out = out.at[flat_new].set(jnp.stack([mv_x, mv_y], -1), mode="drop")
+    return _lay.flat_to_image(out, W, H)

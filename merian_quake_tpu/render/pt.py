@@ -18,6 +18,7 @@ import jax.numpy as jnp
 from ..accel.build import AccelScene
 from ..models.types import RenderConfig, TextureAtlas, Uniforms
 from ..ops import bsdf, color as color_ops, linalg, rng as rng_ops
+from . import layout
 from .gbuffer import GBufferOutput
 from .hit import Hit, decompress_hit
 from .trace import trace_ray
@@ -54,13 +55,8 @@ def render_pt(
     W, H = config.width, config.height
     rows = H if rows is None else rows
     n = W * rows
-    px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(rows), indexing="xy")
-    state0 = rng_ops.seed_pixel(
-        px.reshape(-1),
-        py.reshape(-1) + jnp.asarray(y0, jnp.int32),
-        uniforms.frame,
-        config.seed,
-    )
+    pxi, pyi = layout.gen_pixels(W, rows, y0=y0)
+    state0 = rng_ops.seed_pixel(pxi, pyi, uniforms.frame, config.seed)
 
     first_hit = decompress_hit(gbuf.hits)
     # mcpg.comp:43 — skip pixels whose first hit has (near) zero albedo
@@ -129,4 +125,6 @@ def render_pt(
     if config.spp > 0:
         irr = irr / config.spp
         m2 = m2 / config.spp
-    return jnp.concatenate([irr, m2[..., None]], axis=-1).reshape(rows, W, 4)
+    return layout.flat_to_image(
+        jnp.concatenate([irr, m2[..., None]], axis=-1), W, rows
+    )

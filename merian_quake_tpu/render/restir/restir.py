@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from ...accel.build import AccelScene
 from ...models.types import RenderConfig, TextureAtlas, Uniforms
 from ...ops import bsdf, color as color_ops, linalg, rng as rng_ops
+from .. import layout
 from ..gbuffer import GBufferOutput
 from ..hit import Hit, decompress_hit
 from ..trace import trace_ray
@@ -95,14 +96,13 @@ def render_restir(
     """Full-frame ReSTIR DI. Returns (irradiance[H,W,4], new ReSTIRState)."""
     W, H = config.width, config.height
     n = W * H
-    px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
-    pxf, pyf = px.reshape(-1), py.reshape(-1)
+    pxf, pyf = layout.gen_pixels(W, H)
 
     surf = decompress_hit(gbuf.hits)
     pixel_live = (surf.albedo >= 1e-7).any(axis=-1)
-    normal = gbuf.normal.reshape(-1, 3)
-    linear_z = gbuf.linear_z.reshape(-1)
-    vel_z = gbuf.z_vel.reshape(-1)
+    normal = layout.image_to_flat(gbuf.normal, W, H)
+    linear_z = layout.image_to_flat(gbuf.linear_z, W, H)
+    vel_z = layout.image_to_flat(gbuf.z_vel, W, H)
 
     # ---------- pass 1: generate (BSDF candidates) ----------
     rng = _seed(pxf, pyf, uniforms.frame, 0, config.seed)
@@ -148,11 +148,13 @@ def render_restir(
     r = rsv.reservoir_init(n)
     rng, r, _ = rsv.combine_finalized(r, rng, cur, cur.p_target)
 
-    mv = gbuf.mv.reshape(-1, 2)
+    mv = layout.image_to_flat(gbuf.mv, W, H)
     ppx = jnp.round(pxf.astype(jnp.float32) + mv[:, 0]).astype(jnp.int32)
     ppy = jnp.round(pyf.astype(jnp.float32) + mv[:, 1]).astype(jnp.int32)
     inb = (ppx >= 0) & (ppx < W) & (ppy >= 0) & (ppy < H)
-    pidx = jnp.clip(ppy, 0, H - 1) * W + jnp.clip(ppx, 0, W - 1)
+    pidx = layout.index_of(
+        jnp.clip(ppx, 0, W - 1), jnp.clip(ppy, 0, H - 1), W, H
+    )
 
     prev_n = jnp.take(rstate.prev_normal, pidx, axis=0)
     prev_z = jnp.take(rstate.prev_linear_z, pidx)
@@ -203,7 +205,7 @@ def render_restir(
     # its 8×8 workgroup, restir_di_temporal_reuse.comp:39-70)
     if rcfg.boiling_filter_strength > 1e-6:
         mult = 10.0 / rcfg.boiling_filter_strength - 9.0
-        wimg = r.w.reshape(H, W)
+        wimg = layout.flat_to_image(r.w, W, H)
         th, tw = H // 8, W // 8
         tiles = wimg[: th * 8, : tw * 8].reshape(th, 8, tw, 8)
         cnt = (tiles > 0).sum((1, 3)).astype(jnp.float32)
@@ -211,7 +213,7 @@ def render_restir(
         mean_full = jnp.repeat(jnp.repeat(mean, 8, 0), 8, 1)
         pad_h, pad_w = H - th * 8, W - tw * 8
         mean_full = jnp.pad(mean_full, ((0, pad_h), (0, pad_w)), mode="edge")
-        boiling = r.w > mean_full.reshape(-1) * mult
+        boiling = r.w > layout.image_to_flat(mean_full, W, H) * mult
         r = rsv.discard(r, boiling)
 
     # ---------- pass 3: spatial reuse ----------
@@ -230,7 +232,9 @@ def render_restir(
             pyf.astype(jnp.float32) + rcfg.spatial_radius * (2 * u2[:, 1] - 1)
         ).astype(jnp.int32)
         inb_s = (nx >= 0) & (nx < W) & (ny >= 0) & (ny < H)
-        nidx = jnp.clip(ny, 0, H - 1) * W + jnp.clip(nx, 0, W - 1)
+        nidx = layout.index_of(
+            jnp.clip(nx, 0, W - 1), jnp.clip(ny, 0, H - 1), W, H
+        )
         nvalid = inb_s & _reproj_valid(
             normal,
             jnp.take(normal, nidx, axis=0),
@@ -295,7 +299,9 @@ def render_restir(
         0.0,
     )
     lum = color_ops.yuv_luminance(irr)
-    img = jnp.concatenate([irr, (lum * lum)[..., None]], -1).reshape(H, W, 4)
+    img = layout.flat_to_image(
+        jnp.concatenate([irr, (lum * lum)[..., None]], -1), W, H
+    )
 
     new_state = ReSTIRState(
         reservoirs=r, prev_normal=normal, prev_linear_z=linear_z

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from ...accel.build import AccelScene
 from ...models.types import RenderConfig, TextureAtlas, Uniforms
 from ...ops import bsdf, color as color_ops, linalg, rng as rng_ops, vmf
+from .. import layout
 from ..gbuffer import GBufferOutput
 from ..hit import decompress_hit
 from ..trace import trace_ray
@@ -110,15 +111,14 @@ def render_ssmm(
     """Full-frame SSMM pass. Returns (irradiance[H,W,4], new SSMMState)."""
     W, H = config.width, config.height
     n = W * H
-    px, py = jnp.meshgrid(jnp.arange(W), jnp.arange(H), indexing="xy")
-    pxf, pyf = px.reshape(-1), py.reshape(-1)
+    pxf, pyf = layout.gen_pixels(W, H)
     rng = rng_ops.seed_pixel(pxf, pyf, uniforms.frame, config.seed)
 
     surf = decompress_hit(gbuf.hits)
     live = (surf.albedo >= 1e-7).any(axis=-1)
-    normal_img = gbuf.normal.reshape(-1, 3)
-    z_img = gbuf.linear_z.reshape(-1)
-    mv = gbuf.mv.reshape(-1, 2)
+    normal_img = layout.image_to_flat(gbuf.normal, W, H)
+    z_img = layout.image_to_flat(gbuf.linear_z, W, H)
+    mv = layout.image_to_flat(gbuf.mv, W, H)
     cam_x = uniforms.cam_x
     alpha_r = bsdf.roughness_to_alpha(surf.roughness)
 
@@ -136,7 +136,8 @@ def render_ssmm(
         bx = jnp.clip(base_x.astype(jnp.int32), 0, W - 1)
         by = jnp.clip(base_y.astype(jnp.int32), 0, H - 1)
         score_sum = _state_score(
-            tent, surf.pos, surf.normal, normal_img, z_img, cam_x, by * W + bx
+            tent, surf.pos, surf.normal, normal_img, z_img, cam_x,
+            layout.index_of(bx, by, W, H),
         )
         for _ in range(scfg.smis_group_size):
             rng, u12 = rng_ops.uniform4(rng)
@@ -150,7 +151,7 @@ def render_ssmm(
             rng, u_rep = rng_ops.uniform(rng)
             ox = jnp.clip((base_x).astype(jnp.int32) + off[:, 0], 0, W - 1)
             oy = jnp.clip((base_y).astype(jnp.int32) + off[:, 1], 0, H - 1)
-            oidx = oy * W + ox
+            oidx = layout.index_of(ox, oy, W, H)
             cand = SSMMState(*[jnp.take(x, oidx, axis=0) for x in sstate])
             other = _state_score(
                 cand, surf.pos, surf.normal, normal_img, z_img, cam_x, oidx
@@ -252,5 +253,7 @@ def render_ssmm(
     # persist only for live pixels (ssmm.comp:232)
     new_state = _sel(live, curr, sstate)
 
-    img = jnp.concatenate([irr, m2[..., None]], axis=-1).reshape(H, W, 4)
+    img = layout.flat_to_image(
+        jnp.concatenate([irr, m2[..., None]], axis=-1), W, H
+    )
     return img, new_state
