@@ -305,6 +305,61 @@ def alcove(emission=200.0) -> SceneBundle:
     return SceneBundle(scene, atlas, uniforms)
 
 
+def city(n_buildings=1650, seed=7) -> SceneBundle:
+    """Map-scale stress scene (~17k triangles): a court of box buildings
+    under a sunlit sky with scattered emissive panels. Stands in for a
+    real Quake map (ad_azad-class triangle counts) in benchmarks."""
+    rng = np.random.default_rng(seed)
+    textures = [
+        _const_tex((255, 255, 255), 1),  # 0 dummy
+        _checker_tex((150, 140, 130), (110, 100, 95)),  # 1 ground
+        _const_tex((140, 135, 128)),  # 2 walls a
+        _const_tex((120, 122, 130)),  # 3 walls b
+        _sky_tex(seed=11),  # 4 sky back
+        _sky_tex(seed=13),  # 5 sky front
+    ]
+    b = _SoupBuilder()
+    S = 4000.0
+    b.quad((0, 0, 0), (S, 0, 0), (0, S, 0), uv_scale=(40, 40), texnum=1)
+    # sky box around the city
+    Z = 700.0
+    SKY = materials.MAT_FLAGS_SKY
+    b.quad((0, 0, Z), (0, S, 0), (S, 0, 0), texnum=4, flags=SKY)
+    b.quad((S, 0, 0), (0, 0, Z), (0, S, 0), texnum=4, flags=SKY)
+    b.quad((0, 0, 0), (0, S, 0), (0, 0, Z), texnum=4, flags=SKY)
+    b.quad((0, S, 0), (S, 0, 0), (0, 0, Z), texnum=4, flags=SKY)
+    b.quad((0, 0, 0), (0, 0, Z), (S, 0, 0), texnum=4, flags=SKY)
+    for i in range(n_buildings):
+        x, y = rng.uniform(100, S - 250, 2)
+        w, d, h = rng.uniform(40, 150, 3)
+        tex = 2 + int(rng.uniform() < 0.5)
+        b.quad((x, y, h), (w, 0, 0), (0, d, 0), texnum=tex)
+        b.quad((x, y, 0), (0, 0, h), (0, d, 0), texnum=tex)
+        b.quad((x + w, y, 0), (0, d, 0), (0, 0, h), texnum=tex)
+        b.quad((x, y, 0), (w, 0, 0), (0, 0, h), texnum=tex)
+        b.quad((x, y + d, 0), (0, 0, h), (w, 0, 0), texnum=tex)
+        if i % 37 == 0:  # scattered emissive panels
+            e = rng.uniform(4, 12)
+            b.quad(
+                (x, y - 0.5, h * 0.4), (w, 0, 0), (0, 0, h * 0.2),
+                flags=materials.MAT_FLAGS_SOLID,
+                solid_albedo=(0.9, 0.85, 0.7),
+                solid_emission=(e, e * 0.9, e * 0.7),
+            )
+    scene = b.build()
+    atlas = pack_textures(textures)
+    uniforms = default_uniforms(
+        cam_x=(60.0, 60.0, 140.0),
+        cam_w=(0.70, 0.70, -0.10),
+        cam_u=(0.0, 0.0, 1.0),
+        fov_deg=90.0,
+        sun_w=(0.4, 0.3, 0.87),
+        sun_color=(8.0, 7.5, 6.5),
+        sky_classic=(4, 5),
+    )
+    return SceneBundle(scene, atlas, uniforms)
+
+
 def furnace(albedo=0.5, emission=1.0) -> SceneBundle:
     """Closed cube, every face uniformly emissive with constant albedo.
 
@@ -339,6 +394,7 @@ SCENES = {
     "court": outdoor_court,
     "furnace": furnace,
     "alcove": alcove,
+    "city": city,
 }
 
 

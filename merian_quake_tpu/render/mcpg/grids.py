@@ -151,6 +151,53 @@ def gather_state(mc: MCStates, idx) -> StateSample:
     )
 
 
+def pack_states(mc: MCStates):
+    """Pack the SoA state into two gather-friendly matrices.
+
+    XLA gather cost scales with the NUMBER of gathers, not row width
+    (see memory: ~33ms per 2M-row gather); the guided sampler draws
+    K states per bounce per spp, so gathering 8 fields separately costs
+    ~4x more than two packed takes. Packing is one linear pass over S.
+    """
+    f = jnp.concatenate(
+        [
+            mc.w_tgt,
+            mc.sum_w[:, None],
+            mc.w_cos[:, None],
+            mc.mv,
+            mc.T[:, None],
+        ],
+        axis=1,
+    )  # (S, 9)
+    i = jnp.stack(
+        [
+            mc.id.astype(jnp.int32),
+            mc.N,
+            mc.hash.astype(jnp.int32),
+        ],
+        axis=1,
+    )  # (S, 3)
+    return f, i
+
+
+def gather_state_packed(packed, idx) -> StateSample:
+    """gather_state from pack_states output — 2 gathers instead of 8."""
+    f, i = packed
+    idx = idx.astype(jnp.int32)
+    gf = jnp.take(f, idx, axis=0)
+    gi = jnp.take(i, idx, axis=0)
+    return StateSample(
+        id=gi[:, 0].astype(jnp.uint32),
+        w_tgt=gf[:, 0:3],
+        sum_w=gf[:, 3],
+        w_cos=gf[:, 4],
+        mv=gf[:, 5:8],
+        T=gf[:, 8],
+        N=gi[:, 1],
+        hash=gi[:, 2].astype(jnp.uint32),
+    )
+
+
 def finalize_load(
     s: StateSample,
     expected_hash,
