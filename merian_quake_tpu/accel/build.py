@@ -36,6 +36,8 @@ class AccelScene(NamedTuple):
     woop_cand: jnp.ndarray  # f32[1, T] candidacy for the Woop kernel
     tri_attr: jnp.ndarray  # f32[T, 40] packed shading attributes (one
     # gather per hit instead of ~12 — see trace.ATTR_* layout)
+    world_lo: jnp.ndarray  # f32[3] scene bounds (ray-sort quantization)
+    world_hi: jnp.ndarray
 
     @property
     def num_clusters(self) -> int:
@@ -186,6 +188,8 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
         woop_w=jnp.asarray(woop_w),
         woop_cand=jnp.asarray(woop_cand[None].astype(np.float32)),
         tri_attr=jnp.asarray(attr),
+        world_lo=jnp.asarray(np.nanmin(np.where(valid[:, None], v0, np.nan), axis=0).astype(np.float32)),
+        world_hi=jnp.asarray(np.nanmax(np.where(valid[:, None], v0, np.nan), axis=0).astype(np.float32)),
     )
 
 

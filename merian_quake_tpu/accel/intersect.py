@@ -62,6 +62,7 @@ def intersect(
     t_max,
     chunk: int = 128,
     ray_block: int = 1 << 16,
+    sort_rays: bool = False,
 ) -> HitRecord:
     """Nearest front-facing candidate hit. o, d: f32[N, 3].
 
@@ -74,7 +75,7 @@ def intersect(
     if _use_pallas():
         from .woop import intersect_woop
 
-        return intersect_woop(accel, o, d, t_min, t_max)
+        return intersect_woop(accel, o, d, t_min, t_max, sort_rays=sort_rays)
     n_rays = o.shape[0]
     if n_rays > ray_block:
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))
@@ -173,6 +174,7 @@ def trace_nearest(
     t_max,
     max_intersections: int = materials.MAX_INTERSECTIONS,
     chunk: int = 128,
+    sort_rays: bool = False,
 ) -> HitRecord:
     """Nearest *accepted* hit: runs the alpha-test re-trace loop.
 
@@ -188,7 +190,9 @@ def trace_nearest(
 
     def body(state):
         i, active, cur_tmin, result = state
-        hr = intersect(accel, o, d, cur_tmin, t_max, chunk=chunk)
+        hr = intersect(
+            accel, o, d, cur_tmin, t_max, chunk=chunk, sort_rays=sort_rays
+        )
         if tex is not None:
             needs = jnp.take(accel.needs_alpha, jnp.maximum(hr.tri, 0)) & hr.hit
             uv = _hit_uv(accel, hr)

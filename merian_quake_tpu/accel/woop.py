@@ -244,14 +244,61 @@ def intersect_woop_packed(
     return out, idx
 
 
-def intersect_woop(accel, o, d, t_min, t_max, ray_block=2048, interpret=False):
+def _sort_keys(accel, o, d):
+    """Bounce-ray binning key: direction octant (high bits, so every
+    sorted block has sign-consistent directions — exactly what the
+    interval slab culling needs) then origin Morton code (locality)."""
+    lo = accel.world_lo
+    ext = jnp.maximum(accel.world_hi - lo, 1e-3)
+    q = jnp.clip((o - lo) / ext * 255.0, 0.0, 255.0).astype(jnp.uint32)
+
+    def spread(v):
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    morton = spread(q[:, 0]) | (spread(q[:, 1]) << 1) | (spread(q[:, 2]) << 2)
+    octant = (
+        (d[:, 0] >= 0).astype(jnp.uint32)
+        | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
+        | ((d[:, 2] >= 0).astype(jnp.uint32) << 2)
+    )
+    return (octant << jnp.uint32(24)) | (morton & jnp.uint32(0xFFFFFF))
+
+
+def intersect_woop(
+    accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
+    sort_rays=False,
+):
     """HitRecord-compatible Woop-kernel intersection. Requires the accel
-    to carry `woop_w`/`woop_cand` (see build_accel)."""
+    to carry `woop_w`/`woop_cand` (see build_accel). ``sort_rays`` bins
+    incoherent (bounce) rays by direction octant + origin Morton so the
+    block culling mask stays effective; sorts/permutes are ~free on TPU
+    relative to one trace."""
     from .intersect import HitRecord
 
     n = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    if sort_rays and n >= ray_block:
+        perm = jnp.argsort(_sort_keys(accel, o, d))
+        o = jnp.take(o, perm, axis=0)
+        d = jnp.take(d, perm, axis=0)
+        t_min = jnp.take(t_min, perm)
+        t_max = jnp.take(t_max, perm)
+        hr = intersect_woop(
+            accel, o, d, t_min, t_max, ray_block=ray_block,
+            interpret=interpret, sort_rays=False,
+        )
+        inv = jnp.argsort(perm)
+        return HitRecord(
+            t=jnp.take(hr.t, inv),
+            tri=jnp.take(hr.tri, inv),
+            u=jnp.take(hr.u, inv),
+            v=jnp.take(hr.v, inv),
+        )
     pad = (-n) % ray_block
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])

@@ -187,6 +187,7 @@ def render_mcpg_surface(
             res = trace_ray(
                 accel, atlas, uniforms, origin, wo,
                 bilinear=config.bilinear, features=config.features,
+                sort_rays=True,
             )
             incident = res.contribution
             has_inc = (incident > 0.0).any(axis=-1)

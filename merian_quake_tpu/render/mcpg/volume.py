@@ -306,6 +306,7 @@ def render_volume(
         res = trace_ray(
             accel, atlas, uniforms, pos, wo,
             bilinear=config.bilinear, features=config.features,
+                sort_rays=True,
         )
         incident = res.contribution
         if vcfg.volume_use_light_cache:

@@ -189,6 +189,7 @@ def render_ssmm(
         res = trace_ray(
             accel, atlas, uniforms, origin, wo,
             bilinear=config.bilinear, features=config.features,
+                sort_rays=True,
         )
         incident = res.contribution
         position = res.hit.pos

@@ -143,6 +143,7 @@ def trace_ray(
     bilinear: bool = False,
     chunk: int = 128,
     pixel_cone=None,
+    sort_rays: bool = False,
     features: SceneFeatures = SceneFeatures(
         sky_mode="cubemap", has_fb=True, has_gloss=True, has_warp=True,
         has_emissive_tex=True, has_normalmap=True,
@@ -157,7 +158,9 @@ def trace_ray(
     emission fetches — the first-hit textureGrad path of the reference
     (raytrace.glsl:232-245), with cones instead of ray differentials.
     """
-    hr = trace_nearest(accel, atlas, pos, wi, 0.0, T_MAX, chunk=chunk)
+    hr = trace_nearest(
+        accel, atlas, pos, wi, 0.0, T_MAX, chunk=chunk, sort_rays=sort_rays
+    )
     n = pos.shape[0]
     tri = jnp.maximum(hr.tri, 0)
     t_hit = jnp.where(hr.hit, hr.t, T_MAX)
