@@ -80,6 +80,38 @@ def _cmd_error(args) -> int:
     return 0
 
 
+def _cmd_graph(args) -> int:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from .accel.build import build_accel, scene_features
+    from .graph import Graph
+    from .graph.nodes import GraphContext
+    from .models.procedural import get_scene
+    from .models.types import RenderConfig
+    from .utils.image import save_png
+
+    w, h = (int(v) for v in args.size.split("x"))
+    bundle = get_scene(args.scene)
+    config = RenderConfig(
+        width=w, height=h, spp=args.spp,
+        features=scene_features(bundle.scene, bundle.uniforms),
+    )
+    accel = build_accel(bundle.scene, bundle.atlas)
+    ctx = GraphContext(accel=accel, atlas=bundle.atlas, config=config)
+    g = Graph.from_config(args.config, ctx)
+    state = g.init_state()
+    uniforms = bundle.uniforms
+    out = None
+    for i in range(args.frames):
+        uniforms = uniforms._replace(frame=jnp.uint32(i))
+        state, out = g.run(state, {"uniforms": uniforms})
+    final = out[(args.output_node, "out")]
+    save_png(args.out, np.asarray(final))
+    print(f"ran graph {args.config} for {args.frames} frames -> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="merian-quake-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -99,6 +131,16 @@ def main(argv=None) -> int:
     pp.add_argument("--frames", type=int, default=None)
     pp.add_argument("--out", default=None)
     pp.set_defaults(fn=_cmd_preset)
+
+    pg = sub.add_parser("graph", help="run a JSON-configured frame graph")
+    pg.add_argument("--config", default="res/default_graph.json")
+    pg.add_argument("--scene", default="box")
+    pg.add_argument("--size", default="320x180")
+    pg.add_argument("--spp", type=int, default=1)
+    pg.add_argument("--frames", type=int, default=8)
+    pg.add_argument("--output-node", default="tonemap")
+    pg.add_argument("--out", default="/tmp/mq_graph.png")
+    pg.set_defaults(fn=_cmd_graph)
 
     pe = sub.add_parser("error", help="compare an image against a reference")
     pe.add_argument("image")

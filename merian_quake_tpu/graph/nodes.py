@@ -369,6 +369,14 @@ class ImageWriteNode(Node):
         return {"count": count + 1}, {"out": src}
 
 
+def default_graph_config(renderer_type: str = "render_pt") -> dict:
+    """Reference-style default wiring for any renderer node type
+    (render_pt | render_markovchain | render_restir | render_ssmm)."""
+    cfg = default_pt_graph_config()
+    cfg["nodes"]["renderer"] = {"type": renderer_type}
+    return cfg
+
+
 def default_pt_graph_config() -> dict:
     """The hand-wired renderer.frame_core pipeline as a graph config
     (≈ a reduced res/default_config.json)."""

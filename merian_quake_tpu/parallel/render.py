@@ -26,40 +26,83 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(devs[:n], axis_names=(AXIS,))
 
 
-def _state_specs() -> FrameState:
+def _state_specs(state: FrameState) -> FrameState:
+    """Sharding specs per FrameState leaf: per-pixel images shard along
+    rows; the guiding state (MCPG chains, light cache) is REPLICATED —
+    each device applies the globally all-gathered update queue, keeping
+    replicas identical (verified by test)."""
+    img = lambda x: P(AXIS) if x is not None else None
+    rep = (
+        jax.tree.map(lambda _: P(), state.mcpg)
+        if state.mcpg is not None
+        else None
+    )
     return FrameState(
         accum_irradiance=P(AXIS),
         accum_direct=P(AXIS),
         accum_albedo=P(AXIS),
         iteration=P(),
+        mcpg=rep,
+        volume=None,
+        accum_volume=img(state.accum_volume),
+        restir=None,
+        ssmm=None,
+        svgf=None,
+        taa_prev=None,
     )
 
 
-def init_state_sharded(mesh: Mesh, config: RenderConfig) -> FrameState:
-    state = init_state(config)
-    specs = _state_specs()
+def init_state_sharded(mesh: Mesh, config: RenderConfig, mcpg_config=None) -> FrameState:
+    state = init_state(config, mcpg_config)
+    assert state.volume is None and state.restir is None, (
+        "sharded rendering supports pt/mcpg (volume/restir/ssmm need "
+        "full-frame neighborhoods)"
+    )
+    assert state.svgf is None, "denoise not supported under sharding yet"
+    specs = _state_specs(state)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
     )
 
 
-def render_frame_sharded(mesh: Mesh, accel, atlas, uniforms, config, state):
+def render_frame_sharded(
+    mesh: Mesh, accel, atlas, uniforms, config, state, mcpg_config=None
+):
     """One frame with the pixel grid sharded over ``mesh``.
 
-    Returns (new_state, ldr image) — both sharded along rows.
+    Returns (new_state, ldr image) — both sharded along rows. For the
+    MCPG integrator the per-shard update queues are all-gathered over
+    the mesh (ICI collective) and every device replays the global set
+    into its replicated guiding state.
     """
     n = mesh.devices.size
     assert config.height % n == 0, (config.height, n)
     rows = config.height // n
+    specs = _state_specs(state)
 
     @partial(
         jax.jit,
-        static_argnames=("cfg",),
+        static_argnames=("cfg", "mcfg"),
     )
-    def step(accel, atlas, uniforms, state, cfg):
+    def step(accel, atlas, uniforms, state, cfg, mcfg):
         def slab(accel, atlas, uniforms, state_slab):
             idx = jax.lax.axis_index(AXIS)
             y0 = idx * rows
+
+            # queue entries are flattened (spp·segments, pixels); the
+            # single-device order interleaves full-image pixels within
+            # each group, so regroup after gathering to keep the replay
+            # bit-identical to single-device
+            groups = cfg.spp * max(cfg.max_path_length - 1, 1)
+
+            def gather_all(x):
+                g = jax.lax.all_gather(x, AXIS)  # (ndev, M_shard, ...)
+                ndev = g.shape[0]
+                per = g.shape[1] // groups
+                g = g.reshape((ndev, groups, per) + x.shape[1:])
+                order = (1, 0, 2) + tuple(range(3, g.ndim))
+                return g.transpose(order).reshape((-1,) + x.shape[1:])
+
             new_state, outputs = frame_core(
                 accel,
                 atlas,
@@ -69,6 +112,8 @@ def render_frame_sharded(mesh: Mesh, accel, atlas, uniforms, config, state):
                 y0=y0,
                 rows=rows,
                 mean_fn=lambda x: jax.lax.pmean(x, AXIS),
+                mcpg_config=mcfg,
+                gather_fn=gather_all,
             )
             return new_state, outputs["ldr"]
 
@@ -79,10 +124,10 @@ def render_frame_sharded(mesh: Mesh, accel, atlas, uniforms, config, state):
         sharded = jax.shard_map(
             slab,
             mesh=mesh,
-            in_specs=(P(), P(), P(), _state_specs()),
-            out_specs=(_state_specs(), P(AXIS)),
+            in_specs=(P(), P(), P(), specs),
+            out_specs=(specs, P(AXIS)),
             check_vma=False,
         )
         return sharded(accel, atlas, uniforms, state)
 
-    return step(accel, atlas, uniforms, state, config)
+    return step(accel, atlas, uniforms, state, config, mcpg_config)

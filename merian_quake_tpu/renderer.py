@@ -103,9 +103,14 @@ def frame_core(
     rows: int | None = None,
     mean_fn=lambda x: x,
     mcpg_config=None,
+    gather_fn=lambda x: x,
 ):
     """One frame over an image-row slab. ``mean_fn`` reduces a local
-    scalar mean to the global mean (lax.pmean under shard_map)."""
+    scalar mean to the global mean (lax.pmean under shard_map);
+    ``gather_fn`` concatenates per-shard guiding-update queues across
+    the mesh (lax.all_gather) so every device applies the GLOBAL update
+    set to its replica of the guiding state — replicas stay bit-
+    identical without sharding the 2.4 GB state itself."""
     rows = config.height if rows is None else rows
     gbuf = render_gbuffer(accel, atlas, uniforms, config, y0=y0, rows=rows)
     new_mcpg = state.mcpg
@@ -150,6 +155,14 @@ def frame_core(
             new_accum_volume = accumulate(
                 state.accum_volume, vol_img, state.iteration
             )
+        from .render.mcpg.surface import SurfaceResult as _SR
+
+        res = _SR(
+            irradiance=res.irradiance,
+            updates=jax.tree.map(gather_fn, res.updates),
+            lc_samples=jax.tree.map(gather_fn, res.lc_samples),
+            zeros=jax.tree.map(gather_fn, res.zeros),
+        )
         new_mcpg = apply_updates(
             jnp.uint32(config.seed), state.mcpg, res, uniforms, mcpg_config
         )

@@ -47,3 +47,42 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(4)
+
+
+def test_sharded_mcpg_matches_single_device():
+    """Full MCPG training step over the mesh: all-gathered update
+    queues keep the replicated guiding state bit-identical."""
+    import jax.numpy as jnp
+
+    from merian_quake_tpu.accel.build import scene_features
+    from merian_quake_tpu.render.mcpg import MCPGConfig
+
+    bundle = cornell_box()
+    accel = build_accel(bundle.scene, bundle.atlas)
+    config = RenderConfig(
+        width=64, height=32, spp=1, max_path_length=3, integrator="mcpg",
+        features=scene_features(bundle.scene, bundle.uniforms),
+    )
+    mcfg = MCPGConfig(mc_adaptive_size=1 << 12, mc_static_size=1 << 10,
+                      lc_size=1 << 12)
+    mesh = make_mesh(8)
+    st8 = init_state_sharded(mesh, config, mcfg)
+    st1 = init_state(config, mcfg)
+    u = bundle.uniforms
+    for i in range(2):
+        u = u._replace(frame=jnp.uint32(i))
+        st8, ldr8 = render_frame_sharded(
+            mesh, accel, bundle.atlas, u, config, st8, mcfg
+        )
+        st1, out1 = render_frame(accel, bundle.atlas, u, config, st1, mcfg)
+    np.testing.assert_allclose(
+        np.asarray(ldr8), np.asarray(out1["ldr"]), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st8.mcpg.mc.sum_w),
+        np.asarray(st1.mcpg.mc.sum_w),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st8.mcpg.lc.irr), np.asarray(st1.mcpg.lc.irr), atol=1e-5
+    )
