@@ -64,16 +64,49 @@ PRODUCTION = MCPGConfig(
 
 
 class MCStates(NamedTuple):
-    """SoA MCState array over adaptive ++ static slots (grid.h:6-21)."""
+    """MCState array over adaptive ++ static slots (grid.h:6-21).
 
-    id: jnp.ndarray  # u32[S] chain identity
-    w_tgt: jnp.ndarray  # f32[S, 3] weighted target point
-    sum_w: jnp.ndarray  # f32[S]
-    w_cos: jnp.ndarray  # f32[S]
-    mv: jnp.ndarray  # f32[S, 3] target velocity
-    T: jnp.ndarray  # f32[S] last update time
-    N: jnp.ndarray  # i32[S] sample count
-    hash: jnp.ndarray  # u32[S] 16-bit verification hash
+    Stored as TWO packed matrices instead of 8 SoA arrays: XLA gather/
+    scatter cost scales with the number of ops, not row width, and the
+    guided sampler + update replay gather/scatter states ~40×/frame.
+    Column layout: f = [w_tgt(3), sum_w, w_cos, mv(3), T]; i = [id, N,
+    hash]. Read sites use the accessor properties below.
+    """
+
+    f: jnp.ndarray  # f32[S, 9]
+    i: jnp.ndarray  # i32[S, 3]
+
+    @property
+    def w_tgt(self):
+        return self.f[:, 0:3]
+
+    @property
+    def sum_w(self):
+        return self.f[:, 3]
+
+    @property
+    def w_cos(self):
+        return self.f[:, 4]
+
+    @property
+    def mv(self):
+        return self.f[:, 5:8]
+
+    @property
+    def T(self):
+        return self.f[:, 8]
+
+    @property
+    def id(self):
+        return self.i[:, 0].astype(jnp.uint32)
+
+    @property
+    def N(self):
+        return self.i[:, 1]
+
+    @property
+    def hash(self):
+        return self.i[:, 2].astype(jnp.uint32)
 
 
 class LightCache(NamedTuple):
@@ -100,14 +133,8 @@ def init_mcpg_state(config: MCPGConfig) -> MCPGState:
     l = config.lc_size
     return MCPGState(
         mc=MCStates(
-            id=jnp.zeros((s,), jnp.uint32),
-            w_tgt=jnp.zeros((s, 3), jnp.float32),
-            sum_w=jnp.zeros((s,), jnp.float32),
-            w_cos=jnp.zeros((s,), jnp.float32),
-            mv=jnp.zeros((s, 3), jnp.float32),
-            T=jnp.zeros((s,), jnp.float32),
-            N=jnp.zeros((s,), jnp.int32),
-            hash=jnp.zeros((s,), jnp.uint32),
+            f=jnp.zeros((s, 9), jnp.float32),
+            i=jnp.zeros((s, 3), jnp.int32),
         ),
         lc=LightCache(
             hash=jnp.zeros((l,), jnp.uint32),

@@ -138,64 +138,38 @@ def static_cell(rng_state, pos, cfg: MCPGConfig):
 
 
 def gather_state(mc: MCStates, idx) -> StateSample:
+    """Two packed gathers instead of 8 per-field gathers."""
     idx = idx.astype(jnp.int32)
+    gf = jnp.take(mc.f, idx, axis=0)
+    gi = jnp.take(mc.i, idx, axis=0)
     return StateSample(
-        id=jnp.take(mc.id, idx),
-        w_tgt=jnp.take(mc.w_tgt, idx, axis=0),
-        sum_w=jnp.take(mc.sum_w, idx),
-        w_cos=jnp.take(mc.w_cos, idx),
-        mv=jnp.take(mc.mv, idx, axis=0),
-        T=jnp.take(mc.T, idx),
-        N=jnp.take(mc.N, idx),
-        hash=jnp.take(mc.hash, idx),
+        id=gi[..., 0].astype(jnp.uint32),
+        w_tgt=gf[..., 0:3],
+        sum_w=gf[..., 3],
+        w_cos=gf[..., 4],
+        mv=gf[..., 5:8],
+        T=gf[..., 8],
+        N=gi[..., 1],
+        hash=gi[..., 2].astype(jnp.uint32),
     )
 
 
-def pack_states(mc: MCStates):
-    """Pack the SoA state into two gather-friendly matrices.
-
-    XLA gather cost scales with the NUMBER of gathers, not row width
-    (see memory: ~33ms per 2M-row gather); the guided sampler draws
-    K states per bounce per spp, so gathering 8 fields separately costs
-    ~4x more than two packed takes. Packing is one linear pass over S.
-    """
+def pack_sample(st: StateSample):
+    """StateSample (per-ray) → packed (M, 9) f32 + (M, 3) i32 rows."""
     f = jnp.concatenate(
         [
-            mc.w_tgt,
-            mc.sum_w[:, None],
-            mc.w_cos[:, None],
-            mc.mv,
-            mc.T[:, None],
+            st.w_tgt,
+            st.sum_w[..., None],
+            st.w_cos[..., None],
+            st.mv,
+            st.T[..., None],
         ],
-        axis=1,
-    )  # (S, 9)
-    i = jnp.stack(
-        [
-            mc.id.astype(jnp.int32),
-            mc.N,
-            mc.hash.astype(jnp.int32),
-        ],
-        axis=1,
-    )  # (S, 3)
-    return f, i
-
-
-def gather_state_packed(packed, idx) -> StateSample:
-    """gather_state from pack_states output — 2 gathers instead of 8."""
-    f, i = packed
-    idx = idx.astype(jnp.int32)
-    gf = jnp.take(f, idx, axis=0)
-    gi = jnp.take(i, idx, axis=0)
-    return StateSample(
-        id=gi[:, 0].astype(jnp.uint32),
-        w_tgt=gf[:, 0:3],
-        sum_w=gf[:, 3],
-        w_cos=gf[:, 4],
-        mv=gf[:, 5:8],
-        T=gf[:, 8],
-        N=gi[:, 1],
-        hash=gi[:, 2].astype(jnp.uint32),
+        axis=-1,
     )
+    i = jnp.stack(
+        [st.id.astype(jnp.int32), st.N, st.hash.astype(jnp.int32)], axis=-1
+    )
+    return f, i
 
 
 def finalize_load(

@@ -81,15 +81,21 @@ def lc_update_batch(
     L = cfg.lc_size
 
     mf = mask.astype(jnp.float32)
-    count = jnp.zeros((L,)).at[bi].add(mf)
-    sum_irr = jnp.zeros((L, 3)).at[bi].add(irr * mf[..., None])
-    # representative sample per cell (arbitrary winner, like the lock)
-    new_hash = jnp.zeros((L,), _U32).at[bi].max(jnp.where(mask, h, 0))
-    rep_pos = jnp.zeros((L, 3)).at[bi].set(jnp.where(mask[..., None], pos, 0.0))
-    rep_norm = jnp.zeros((L, 3)).at[bi].set(
-        jnp.where(mask[..., None], normal, 0.0)
+    # ONE packed scatter-add (count + irr sum) and ONE packed scatter-set
+    # (representative sample per cell — arbitrary winner, like the lock)
+    add_rows = jnp.concatenate([mf[:, None], irr * mf[:, None]], axis=1)
+    acc = jnp.zeros((L, 4)).at[bi].add(add_rows)
+    count = acc[:, 0]
+    sum_irr = acc[:, 1:4]
+    bi_m = jnp.where(mask, bi, L)
+    rep_rows = jnp.concatenate(
+        [pos, normal, level[:, None], h.astype(jnp.float32)[:, None]], axis=1
     )
-    rep_level = jnp.zeros((L,)).at[bi].set(jnp.where(mask, level, 0.0))
+    rep = jnp.zeros((L, 8)).at[bi_m].set(rep_rows, mode="drop")
+    rep_pos = rep[:, 0:3]
+    rep_norm = rep[:, 3:6]
+    rep_level = rep[:, 6]
+    new_hash = rep[:, 7].astype(_U32)
 
     touched = count > 0.0
     mean_irr = sum_irr / jnp.maximum(count, 1.0)[..., None]

@@ -99,7 +99,6 @@ def render_mcpg_surface(
 
     first_hit = decompress_hit(gbuf.hits)
     pixel_live = (first_hit.albedo >= 1e-7).any(axis=-1)
-    mc_packed = grids.pack_states(mc)
 
     def one_sample(rng_state, is_first_spp: bool):
         cur = first_hit
@@ -128,7 +127,7 @@ def render_mcpg_surface(
                     rng_state, lookup_pos, mcfg
                 )
                 buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
-                st = grids.gather_state_packed(mc_packed, buf)
+                st = grids.gather_state(mc, buf)
                 st_a = grids.finalize_load(st, ahash, uniforms.cl_time)
                 st_s = grids.finalize_load(
                     st,

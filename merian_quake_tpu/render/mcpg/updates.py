@@ -32,21 +32,13 @@ _BIGF = jnp.float32(3e38)
 
 
 def _scatter_state(mc: MCStates, idx, st: grids.StateSample, mask) -> MCStates:
-    """Masked scatter of per-sample states into the SoA arrays."""
-    safe_idx = jnp.where(mask, idx, mc.id.shape[0])  # OOB drops (mode clip? no)
-    # XLA scatter drops out-of-bounds updates with mode='drop'
-    def put(arr, val):
-        return arr.at[safe_idx].set(val.astype(arr.dtype), mode="drop")
-
+    """Masked scatter of per-sample states — TWO packed scatters
+    (out-of-bounds rows drop with mode='drop')."""
+    safe_idx = jnp.where(mask, idx, mc.f.shape[0])
+    f_rows, i_rows = grids.pack_sample(st)
     return MCStates(
-        id=put(mc.id, st.id),
-        w_tgt=put(mc.w_tgt, st.w_tgt),
-        sum_w=put(mc.sum_w, st.sum_w),
-        w_cos=put(mc.w_cos, st.w_cos),
-        mv=put(mc.mv, st.mv),
-        T=put(mc.T, st.T),
-        N=put(mc.N, st.N),
-        hash=put(mc.hash, st.hash),
+        f=mc.f.at[safe_idx].set(f_rows, mode="drop"),
+        i=mc.i.at[safe_idx].set(i_rows, mode="drop"),
     )
 
 
@@ -74,8 +66,7 @@ def apply_updates(
 
     # ---- 1. fast-recovery zeroing (mcpg.comp:175-178) ----
     zero_idx = jnp.where(result.zeros.mask, result.zeros.cell, S)
-    sum_w = mc.sum_w.at[zero_idx].set(0.0, mode="drop")
-    mc = mc._replace(sum_w=sum_w)
+    mc = mc._replace(f=mc.f.at[zero_idx, 3].set(0.0, mode="drop"))
 
     # ---- 2. light cache ----
     lcq = result.lc_samples
@@ -100,12 +91,19 @@ def apply_updates(
     match = (inc.id == upq.id) & upq.mask
     match_f = match.astype(jnp.float32)
 
-    # group aggregates (matching samples only)
-    k_m = jnp.zeros((S,)).at[cells].add(match_f)
-    sum_w_g = jnp.zeros((S,)).at[cells].add(upq.w * match_f)
-    sum_wt_g = jnp.zeros((S, 3)).at[cells].add(
-        upq.w[..., None] * upq.target * match_f[..., None]
-    )
+    # group aggregates (matching samples only) — ONE packed scatter-add
+    agg_rows = jnp.concatenate(
+        [
+            match_f[:, None],
+            (upq.w * match_f)[:, None],
+            upq.w[:, None] * upq.target * match_f[:, None],
+        ],
+        axis=1,
+    )  # (M, 5): count, w, w*target
+    agg = jnp.zeros((S, 5)).at[cells].add(agg_rows)
+    k_m = agg[:, 0]
+    sum_w_g = agg[:, 1]
+    sum_wt_g = agg[:, 2:5]
     cells_match = jnp.where(match, cells, S)  # drop non-matching writers
     mv_rep = jnp.zeros((S, 3)).at[cells_match].set(upq.mv, mode="drop")
 
@@ -160,16 +158,31 @@ def apply_updates(
     min_key = jnp.full((S,), _BIGF).at[cells].min(key)
     is_winner = upq.mask & (key == jnp.take(min_key, cells)) & (key < _BIGF)
 
-    # winner's state (per winning sample)
+    # winner's state (per winning sample) — packed gathers
+    upd_f_full = jnp.concatenate(
+        [
+            upd_w_tgt,
+            upd_sum_w[:, None],
+            upd_w_cos[:, None],
+            mv_rep,
+            jnp.zeros((S, 1)),  # T overridden below
+        ],
+        axis=1,
+    )
+    upd_i_full = jnp.stack(
+        [mc.i[:, 0], n_new, mc.i[:, 2]], axis=1
+    )
+    gf = jnp.take(upd_f_full, cells, axis=0)
+    gi = jnp.take(upd_i_full, cells, axis=0)
     upd_at = grids.StateSample(
-        id=jnp.take(mc.id, cells),
-        w_tgt=jnp.take(upd_w_tgt, cells, axis=0),
-        sum_w=jnp.take(upd_sum_w, cells),
-        w_cos=jnp.take(upd_w_cos, cells),
-        mv=jnp.take(mv_rep, cells, axis=0),
+        id=gi[:, 0].astype(jnp.uint32),
+        w_tgt=gf[:, 0:3],
+        sum_w=gf[:, 3],
+        w_cos=gf[:, 4],
+        mv=gf[:, 5:8],
         T=jnp.full((M,), uniforms.cl_time),
-        N=jnp.take(n_new, cells),
-        hash=jnp.take(mc.hash, cells),
+        N=gi[:, 1],
+        hash=gi[:, 2].astype(jnp.uint32),
     )
     fresh_st = grids.StateSample(
         id=upq.id,

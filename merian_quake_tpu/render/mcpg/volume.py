@@ -172,7 +172,6 @@ def render_volume(
     m2_acc = jnp.zeros((n,))
     lcq_all, upq_all, zq_all = [], [], []
     expected_depth = linear_z
-    mc_packed = grids.pack_states(mstate.mc)
 
     for s in range(vcfg.volume_spp):
         # ---- camera-distance sampling ----
@@ -246,7 +245,7 @@ def render_volume(
             rng, abuf, ahash = grids.adaptive_cell(rng, pos, vnormal, cam_x, mcfg)
             rng, sbuf, shash = grids.static_cell(rng, pos, mcfg)
             buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
-            st = grids.gather_state_packed(mc_packed, buf)
+            st = grids.gather_state(mstate.mc, buf)
             st_a = grids.finalize_load(st, ahash, uniforms.cl_time)
             st_s = grids.finalize_load(st, shash, uniforms.cl_time)
             sel = lambda m, a, b: grids.StateSample(

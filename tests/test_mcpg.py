@@ -177,7 +177,7 @@ def test_apply_updates_creates_and_matures_chains():
 
 def test_fast_recovery_zeroes_state():
     st = init_mcpg_state(CFG)
-    mc = st.mc._replace(sum_w=st.mc.sum_w.at[10].set(5.0))
+    mc = st.mc._replace(f=st.mc.f.at[10, 3].set(5.0))
     st = st._replace(mc=mc)
     m = 4
     res = SurfaceResult(

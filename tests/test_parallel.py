@@ -60,7 +60,7 @@ def test_sharded_mcpg_matches_single_device():
     bundle = cornell_box()
     accel = build_accel(bundle.scene, bundle.atlas)
     config = RenderConfig(
-        width=64, height=32, spp=1, max_path_length=3, integrator="mcpg",
+        width=48, height=16, spp=1, max_path_length=2, integrator="mcpg",
         features=scene_features(bundle.scene, bundle.uniforms),
     )
     mcfg = MCPGConfig(mc_adaptive_size=1 << 12, mc_static_size=1 << 10,
@@ -69,7 +69,7 @@ def test_sharded_mcpg_matches_single_device():
     st8 = init_state_sharded(mesh, config, mcfg)
     st1 = init_state(config, mcfg)
     u = bundle.uniforms
-    for i in range(2):
+    for i in range(1):
         u = u._replace(frame=jnp.uint32(i))
         st8, ldr8 = render_frame_sharded(
             mesh, accel, bundle.atlas, u, config, st8, mcfg

@@ -60,7 +60,7 @@ def test_restir_matches_direct_pt_mean():
     """ReSTIR DI must estimate the same integral as 1-bounce PT."""
     W, H = 48, 32
     cfg_pt = RenderConfig(width=W, height=H, spp=4, max_path_length=2, seed=5)
-    st_pt, _ = render_sequence(get_scene("box"), cfg_pt, frames=16)
+    st_pt, _ = render_sequence(get_scene("box"), cfg_pt, frames=14)
     ref_mean = float(np.asarray(st_pt.accum_irradiance[..., :3]).mean())
 
     rcfg = ReSTIRConfig(
@@ -71,7 +71,7 @@ def test_restir_matches_direct_pt_mean():
     )
     cfg = RenderConfig(width=W, height=H, spp=2, seed=7, integrator="restir")
     st, out = render_sequence(
-        get_scene("box"), cfg, frames=16, mcpg_config=rcfg
+        get_scene("box"), cfg, frames=14, mcpg_config=rcfg
     )
     est_mean = float(np.asarray(st.accum_irradiance[..., :3]).mean())
     assert np.isfinite(np.asarray(out["hdr"])).all()
@@ -86,14 +86,14 @@ def test_restir_reuse_reduces_per_frame_error():
     sampling because reused reservoirs are temporally correlated — the
     real-time win is per-frame quality fed into the denoiser.)
     """
-    W, H = 48, 32
+    W, H = 40, 24
     cfg_ref = RenderConfig(width=W, height=H, spp=8, max_path_length=2, seed=9)
-    st_ref, _ = render_sequence(get_scene("box"), cfg_ref, frames=24)
+    st_ref, _ = render_sequence(get_scene("box"), cfg_ref, frames=16)
     ref = np.asarray(st_ref.accum_irradiance[..., :3])
 
     def run(rcfg, seed):
         cfg = RenderConfig(width=W, height=H, spp=1, seed=seed, integrator="restir")
-        st, out = render_sequence(get_scene("box"), cfg, frames=8, mcpg_config=rcfg)
+        st, out = render_sequence(get_scene("box"), cfg, frames=6, mcpg_config=rcfg)
         est = np.asarray(out["irradiance"][..., :3])  # last frame only
         return float(((est - ref) ** 2 / (ref**2 + 1e-2)).mean())
 

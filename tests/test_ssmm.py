@@ -37,13 +37,13 @@ def test_state_add_mixed_directions_low_kappa():
 
 
 def test_ssmm_end_to_end_unbiased_and_lower_noise():
-    W, H = 48, 32
+    W, H = 40, 24
     cfg_pt = RenderConfig(width=W, height=H, spp=4, max_path_length=2, seed=5)
-    st_pt, _ = render_sequence(get_scene("box"), cfg_pt, frames=16)
+    st_pt, _ = render_sequence(get_scene("box"), cfg_pt, frames=12)
     ref = np.asarray(st_pt.accum_irradiance[..., :3])
 
     cfg = RenderConfig(width=W, height=H, spp=2, seed=7, integrator="ssmm")
-    st, out = render_sequence(get_scene("box"), cfg, frames=16)
+    st, out = render_sequence(get_scene("box"), cfg, frames=12)
     est = np.asarray(st.accum_irradiance[..., :3])
     assert np.isfinite(est).all()
     # mean within 15% (the reference's SMIS denominator is conservative
@@ -51,7 +51,7 @@ def test_ssmm_end_to_end_unbiased_and_lower_noise():
     assert abs(est.mean() - ref.mean()) / ref.mean() < 0.15
     # guiding beats plain PT at equal spp on relMSE
     cfg_b = RenderConfig(width=W, height=H, spp=2, max_path_length=2, seed=7)
-    st_b, _ = render_sequence(get_scene("box"), cfg_b, frames=16)
+    st_b, _ = render_sequence(get_scene("box"), cfg_b, frames=12)
     base = np.asarray(st_b.accum_irradiance[..., :3])
     rel = lambda e: float(((e - ref) ** 2 / (ref**2 + 1e-2)).mean())
     assert rel(est) < rel(base), (rel(est), rel(base))

@@ -63,7 +63,7 @@ def test_mcpg_dumps(tmp_path):
     cfg = MCPGConfig(mc_adaptive_size=256, mc_static_size=64, lc_size=128)
     st = init_mcpg_state(cfg)
     st = st._replace(
-        mc=st.mc._replace(sum_w=st.mc.sum_w.at[7].set(3.0)),
+        mc=st.mc._replace(f=st.mc.f.at[7, 3].set(3.0)),
         lc=st.lc._replace(N=st.lc.N.at[5].set(2)),
     )
     mc_path = str(tmp_path / "mc.json")

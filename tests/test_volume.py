@@ -9,8 +9,8 @@ from merian_quake_tpu.render.mcpg.volume import VolumeConfig, _normal_dist
 from merian_quake_tpu.renderer import render_sequence
 
 
-def _run(mu_t, frames=4, seed=1337, spp=1):
-    cfg = RenderConfig(width=48, height=32, spp=1, integrator="mcpg", seed=seed)
+def _run(mu_t, frames=3, seed=1337, spp=1):
+    cfg = RenderConfig(width=40, height=24, spp=1, integrator="mcpg", seed=seed)
     mcfg = MCPGConfig(volume=VolumeConfig(volume_spp=spp))
     bundle = get_scene("box")
     u = bundle.uniforms._replace(
