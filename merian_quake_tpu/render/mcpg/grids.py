@@ -110,10 +110,17 @@ def adaptive_target_level(pos, cam_x, cfg: MCPGConfig):
     )
 
 
-def adaptive_cell(rng_state, pos, normal, cam_x, cfg: MCPGConfig):
-    """Stochastic adaptive cell for pos: (rng, buffer_index, hash16)."""
+def adaptive_cell(rng_state, pos, normal, cam_x, cfg: MCPGConfig,
+                  target_level=None):
+    """Stochastic adaptive cell for pos: (rng, buffer_index, hash16).
+
+    ``target_level`` may be precomputed (it is deterministic in pos) and
+    reused across the K guide draws — the stochastic level offset and
+    trilinear jitter still differ per draw."""
     rng_state, u_level = rng_ops.uniform(rng_state)
-    level = adaptive_target_level(pos, cam_x, cfg) + jnp.floor(
+    if target_level is None:
+        target_level = adaptive_target_level(pos, cam_x, cfg)
+    level = target_level + jnp.floor(
         -jnp.log2(jnp.maximum(1.0 - u_level, 1e-7))
     )
     level = level.astype(jnp.int32)

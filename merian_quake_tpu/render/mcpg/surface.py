@@ -111,6 +111,7 @@ def render_mcpg_surface(
             rng_state, cur, throughput, f, p, done = carry
 
             lookup_pos = cur.prev_pos if is_first_spp else cur.pos
+            lookup_level = grids.adaptive_target_level(lookup_pos, cam_x, mcfg)
 
             # ---- draw K guide states, reservoir-select by sum_w ----
             score_sum = jnp.zeros((n,))
@@ -121,7 +122,8 @@ def render_mcpg_surface(
                 rng_state, u_grid = rng_ops.uniform(rng_state)
                 adaptive = u_grid < mcfg.mc_samples_adaptive_prob
                 rng_state, abuf, ahash = grids.adaptive_cell(
-                    rng_state, lookup_pos, cur.normal, cam_x, mcfg
+                    rng_state, lookup_pos, cur.normal, cam_x, mcfg,
+                    target_level=lookup_level,
                 )
                 rng_state, sbuf, shash = grids.static_cell(
                     rng_state, lookup_pos, mcfg

@@ -239,10 +239,13 @@ def render_volume(
         gmus, gkaps, gscores = [], [], []
         rng, win = grids.new_state(rng)
         win_buf = jnp.full((n,), -1, jnp.int32)
+        vol_level = grids.adaptive_target_level(pos, cam_x, mcfg)
         for _ in range(K):
             rng, u_grid = rng_ops.uniform(rng)
             adaptive = u_grid < mcfg.mc_samples_adaptive_prob
-            rng, abuf, ahash = grids.adaptive_cell(rng, pos, vnormal, cam_x, mcfg)
+            rng, abuf, ahash = grids.adaptive_cell(
+                rng, pos, vnormal, cam_x, mcfg, target_level=vol_level
+            )
             rng, sbuf, shash = grids.static_cell(rng, pos, mcfg)
             buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
             st = grids.gather_state(mstate.mc, buf)
