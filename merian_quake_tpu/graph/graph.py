@@ -143,6 +143,28 @@ class Graph:
         states = {n: node.init_state(self.ctx) for n, node in self.nodes.items()}
         return {"nodes": states, "delayed": {}, "iteration": 0}
 
+    def compile(self):
+        """Returns a jitted step(state, frame_inputs) → (state, outputs).
+
+        The whole frame graph traces into ONE XLA program (the analog of
+        the reference recording all node dispatches into one command
+        buffer, merian-quake.cpp:273-275). All nodes must be pure —
+        host-side nodes (image_write with a path set) cannot be jitted.
+        """
+        import jax
+
+        for node in self.nodes.values():
+            if node.TYPE == "image_write" and node.props.get("path"):
+                raise ValueError(
+                    f"node {node.name!r}: enabled image_write is host-side; "
+                    "run the graph eagerly or disable the writer"
+                )
+
+        def step(state, frame_inputs):
+            return self.run(state, frame_inputs)
+
+        return jax.jit(step)
+
     def run(self, state: dict, frame_inputs: dict | None = None):
         """Execute one frame (topological order; ≈ graph.run(),
         merian-quake.cpp:273-275). Pure apart from host nodes."""

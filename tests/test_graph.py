@@ -125,3 +125,26 @@ def test_graph_matches_handwired_renderer():
         np.asarray(fout["ldr"]),
         atol=1e-5,
     )
+
+
+def test_compiled_graph_matches_eager():
+    bundle = cornell_box()
+    config = RenderConfig(width=48, height=32, spp=1, max_path_length=2)
+    from merian_quake_tpu.accel.build import build_accel as _ba
+
+    accel = _ba(bundle.scene, bundle.atlas)
+    ctx = GraphContext(accel=accel, atlas=bundle.atlas, config=config)
+    g = Graph.from_config(default_pt_graph_config(), ctx)
+    step = g.compile()
+    se = g.init_state()
+    sj = g.init_state()
+    uniforms = bundle.uniforms
+    for i in range(2):
+        uniforms = uniforms._replace(frame=jnp.uint32(i))
+        se, oe = g.run(se, {"uniforms": uniforms})
+        sj, oj = step(sj, {"uniforms": uniforms})
+    np.testing.assert_allclose(
+        np.asarray(oj[("tonemap", "out")]),
+        np.asarray(oe[("tonemap", "out")]),
+        atol=1e-6,
+    )
