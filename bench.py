@@ -35,7 +35,7 @@ def main():
         spp=spp,
         max_path_length=mpl,
         integrator="mcpg",
-        features=scene_features(bundle.scene, bundle.uniforms),
+        features=scene_features(bundle.scene, bundle.uniforms, bundle.atlas),
     )
     mcfg = MCPGConfig()
     state = init_state(config, mcfg)

@@ -193,8 +193,14 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
     )
 
 
-def scene_features(scene: Scene, uniforms=None):
-    """Derive static SceneFeatures from host scene data."""
+def scene_features(scene: Scene, uniforms=None, atlas=None):
+    """Derive static SceneFeatures from host scene data.
+
+    Pass the atlas to resolve ``has_alpha_tris`` exactly (same formula
+    as build_accel's needs_alpha); without it the flag stays at its
+    conservative True default, keeping the alpha re-trace loop in the
+    compiled kernels.
+    """
     from ..models.types import SceneFeatures
     from ..models import materials as mats
 
@@ -214,8 +220,19 @@ def scene_features(scene: Scene, uniforms=None):
         | (flags == mats.MAT_FLAGS_TELE)
         | (flags == mats.MAT_FLAGS_WATERFALL)
     ) & valid
+    has_alpha_tris = True
+    if atlas is not None:
+        alpha = np.asarray(scene.alpha)
+        texnum = np.asarray(scene.texnum)
+        flag_opaque = (flags > 0) & (flags < 7)
+        has_override = alpha >= 0.0
+        tex_has_alpha = texture_alpha_flags(atlas)[np.clip(texnum, 0, None)]
+        has_alpha_tris = bool(
+            (valid & ~flag_opaque & ~has_override & tex_has_alpha).any()
+        )
     return SceneFeatures(
         sky_mode=sky_mode,
+        has_alpha_tris=has_alpha_tris,
         has_fb=bool(((np.asarray(scene.fb_texnum) > 0) & valid).any()),
         has_gloss=bool(((np.asarray(scene.gloss_texnum) > 0) & valid).any()),
         has_warp=bool(warp),

@@ -178,8 +178,15 @@ def trace_nearest(
 ) -> HitRecord:
     """Nearest *accepted* hit: runs the alpha-test re-trace loop.
 
-    ``tex``: TextureAtlas (may be None to skip alpha testing).
+    ``tex``: TextureAtlas (None skips alpha testing entirely — a single
+    intersect sweep with no re-trace loop; callers pass None when the
+    static SceneFeatures.has_alpha_tris flag says no triangle can ever
+    alpha-reject, compiling out ~40% of the trace cost).
     """
+    if tex is None:
+        return intersect(
+            accel, o, d, t_min, t_max, chunk=chunk, sort_rays=sort_rays
+        )
     n = o.shape[0]
     t_min0 = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))

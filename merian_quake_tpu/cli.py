@@ -95,7 +95,7 @@ def _cmd_graph(args) -> int:
     bundle = get_scene(args.scene)
     config = RenderConfig(
         width=w, height=h, spp=args.spp,
-        features=scene_features(bundle.scene, bundle.uniforms),
+        features=scene_features(bundle.scene, bundle.uniforms, bundle.atlas),
     )
     accel = build_accel(bundle.scene, bundle.atlas)
     ctx = GraphContext(accel=accel, atlas=bundle.atlas, config=config)

@@ -157,6 +157,7 @@ class SceneFeatures(NamedTuple):
     """
 
     sky_mode: str = "none"  # none | classic | cubemap
+    has_alpha_tris: bool = True  # any triangles needing texture alpha test
     has_fb: bool = False  # any fullbright emission textures
     has_gloss: bool = False  # any gloss/roughness maps
     has_warp: bool = False  # any lava/slime/tele/water UV warp

@@ -147,7 +147,7 @@ def run_preset(name: str, frames: int | None = None, out: str | None = None):
     frames = frames if frames is not None else p.frames
     bundle = p.make_bundle()
     config = p.config._replace(
-        features=scene_features(bundle.scene, bundle.uniforms)
+        features=scene_features(bundle.scene, bundle.uniforms, bundle.atlas)
     )
     game = p.make_game(bundle) if p.make_game else None
 

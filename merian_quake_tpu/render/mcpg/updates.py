@@ -19,6 +19,7 @@ TPU adaptation (no atomics, no per-cell serial loops):
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ...ops import linalg, rng as rng_ops
@@ -123,20 +124,27 @@ def apply_updates(
     # w_tgt are written BEFORE w_cos reads mc_state_dir). This is what
     # bootstraps guiding: a fresh chain's first light-find gives cos = 1
     # → mean cos ≈ 1 → a sharp vMF lobe at the light.
-    upd_state = grids.StateSample(
-        id=mc.id,
-        w_tgt=upd_w_tgt,
-        sum_w=upd_sum_w,
-        w_cos=mc.w_cos,
-        mv=mv_rep,
-        T=mc.T,
-        N=n_new,
-        hash=mc.hash,
+    #
+    # All post-update per-cell fields a sample needs are packed into ONE
+    # (S, 8) row so the M-row gather happens once — separate takes of
+    # the same index vector each pay the full gather cost on TPU.
+    upd_pack = jnp.concatenate(
+        [
+            upd_w_tgt,  # 0:3
+            upd_sum_w[:, None],  # 3
+            mv_rep,  # 4:7
+            n_new.astype(jnp.float32)[:, None],  # 7
+        ],
+        axis=1,
     )
-    dir_post = grids.state_dir(
-        grids.StateSample(*[jnp.take(x, cells, axis=0) for x in upd_state]),
-        upq.pos,
+    g1 = jnp.take(upd_pack, cells, axis=0)  # (M, 8)
+    g_wtgt, g_sumw, g_mv = g1[:, 0:3], g1[:, 3], g1[:, 4:7]
+    pos_post = jnp.where(
+        (g_sumw > 0.0)[..., None],
+        g_wtgt / jnp.where(g_sumw == 0.0, 1.0, g_sumw)[..., None],
+        g_wtgt,
     )
+    dir_post = linalg.normalize(pos_post - upq.pos)
     cos_post = jnp.maximum(
         0.0, linalg.dot(linalg.normalize(upq.target - upq.pos), dir_post)
     )
@@ -151,38 +159,27 @@ def apply_updates(
 
     # ---- reservoir winner per cell (exponential race) ----
     rs, u_race = rng_ops.uniform(rs)
-    w_updated_at_sample = jnp.take(upd_sum_w, cells)  # candidate weight
-    cand_w = jnp.where(match, w_updated_at_sample, upq.w)
+    cand_w = jnp.where(match, g_sumw, upq.w)  # post-update weight
     key = -jnp.log(jnp.maximum(u_race, 1e-12)) / jnp.maximum(cand_w, 1e-20)
     key = jnp.where(upq.mask, key, _BIGF)
     min_key = jnp.full((S,), _BIGF).at[cells].min(key)
-    is_winner = upq.mask & (key == jnp.take(min_key, cells)) & (key < _BIGF)
 
-    # winner's state (per winning sample) — packed gathers
-    upd_f_full = jnp.concatenate(
-        [
-            upd_w_tgt,
-            upd_sum_w[:, None],
-            upd_w_cos[:, None],
-            mv_rep,
-            jnp.zeros((S, 1)),  # T overridden below
-        ],
-        axis=1,
-    )
-    upd_i_full = jnp.stack(
-        [mc.i[:, 0], n_new, mc.i[:, 2]], axis=1
-    )
-    gf = jnp.take(upd_f_full, cells, axis=0)
-    gi = jnp.take(upd_i_full, cells, axis=0)
+    # winner's state per sample: reuse the packed g1 gather; id/hash come
+    # from the pre-update `inc` gather (unchanged by the EWA step); only
+    # w_cos and min_key need a second gather — both depend on scatters
+    # that themselves consume g1, so pack the two into one take.
+    g2 = jnp.take(jnp.stack([min_key, upd_w_cos], axis=1), cells, axis=0)
+    is_winner = upq.mask & (key == g2[:, 0]) & (key < _BIGF)
+    g_wcos = g2[:, 1]
     upd_at = grids.StateSample(
-        id=gi[:, 0].astype(jnp.uint32),
-        w_tgt=gf[:, 0:3],
-        sum_w=gf[:, 3],
-        w_cos=gf[:, 4],
-        mv=gf[:, 5:8],
+        id=inc.id,
+        w_tgt=g_wtgt,
+        sum_w=g_sumw,
+        w_cos=g_wcos,
+        mv=g_mv,
         T=jnp.full((M,), uniforms.cl_time),
-        N=gi[:, 1],
-        hash=gi[:, 2].astype(jnp.uint32),
+        N=g1[:, 7].astype(jnp.int32),
+        hash=inc.hash,
     )
     fresh_st = grids.StateSample(
         id=upq.id,
@@ -211,10 +208,24 @@ def apply_updates(
                 rs, upq.pos, upq.normal, uniforms.cam_x, mcfg
             )
         buf = buf.astype(jnp.int32)
-        old = grids.gather_state(mc, buf)
+        # only id and sum_w of the incumbent matter — ONE packed take
+        # (id rides along bit-cast into the f32 lane)
+        old_pack = jnp.take(
+            jnp.stack(
+                [
+                    jax.lax.bitcast_convert_type(mc.i[:, 0], jnp.float32),
+                    mc.f[:, 3],
+                ],
+                axis=1,
+            ),
+            buf,
+            axis=0,
+        )
+        old_id = jax.lax.bitcast_convert_type(old_pack[:, 0], jnp.int32)
+        old_sum_w = old_pack[:, 1]
         rs, u_rep = rng_ops.uniform(rs)
-        replace = (old.id == new_state.id) | (
-            u_rep < new_state.sum_w / (new_state.sum_w + old.sum_w)
+        replace = (old_id.astype(_U32) == new_state.id) | (
+            u_rep < new_state.sum_w / (new_state.sum_w + old_sum_w)
         )
         m = is_winner & replace
         st = new_state._replace(hash=h)

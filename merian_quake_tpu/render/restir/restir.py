@@ -193,7 +193,12 @@ def render_restir(
         if rcfg.temporal_bias_correction == 2:
             from ...accel.intersect import trace_visibility
 
-            vis = trace_visibility(accel, atlas, surf.pos, combined.y_pos)
+            vis = trace_visibility(
+                accel,
+                atlas if config.features.has_alpha_tris else None,
+                surf.pos,
+                combined.y_pos,
+            )
             temporal_p = jnp.where(vis, temporal_p, 0.0)
         temporal_p = jnp.where(tvalid, temporal_p, 0.0)
         pi = jnp.where(sel_prev, temporal_p, pi)
@@ -260,7 +265,12 @@ def render_restir(
             if rcfg.spatial_bias_correction == 2:
                 from ...accel.intersect import trace_visibility
 
-                vis = trace_visibility(accel, atlas, nb_surf.pos, r.y_pos)
+                vis = trace_visibility(
+                    accel,
+                    atlas if config.features.has_alpha_tris else None,
+                    nb_surf.pos,
+                    r.y_pos,
+                )
                 sp = jnp.where(vis, sp, 0.0)
             sp = jnp.where(nvalid, sp, 0.0)
             pi = jnp.where(sel_idx == i, sp, pi)

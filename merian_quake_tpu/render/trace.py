@@ -158,8 +158,10 @@ def trace_ray(
     emission fetches — the first-hit textureGrad path of the reference
     (raytrace.glsl:232-245), with cones instead of ray differentials.
     """
+    alpha_tex = atlas if features.has_alpha_tris else None
     hr = trace_nearest(
-        accel, atlas, pos, wi, 0.0, T_MAX, chunk=chunk, sort_rays=sort_rays
+        accel, alpha_tex, pos, wi, 0.0, T_MAX, chunk=chunk,
+        sort_rays=sort_rays,
     )
     n = pos.shape[0]
     tri = jnp.maximum(hr.tri, 0)

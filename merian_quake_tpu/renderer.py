@@ -295,7 +295,7 @@ def render_sequence(
     from .accel.build import scene_features
 
     config = config._replace(
-        features=scene_features(bundle.scene, bundle.uniforms)
+        features=scene_features(bundle.scene, bundle.uniforms, bundle.atlas)
     )
     state = init_state(config, mcpg_config)
     uniforms = bundle.uniforms

@@ -169,3 +169,32 @@ def test_mip_selection_far_surfaces():
     # far grazing hit: averaged checker ≈ mid-grey; near hit: near 0 or 1
     assert 0.2 < far[0] < 0.8, far
     assert near[0] < 0.2 or near[0] > 0.8, near
+
+
+def test_scene_features_alpha_flag_and_no_alpha_fast_path():
+    """scene_features(atlas) resolves has_alpha_tris; the tex=None fast
+    path in trace_nearest must agree with the alpha loop on scenes
+    without alpha-test triangles."""
+    import jax
+    import jax.numpy as jnp
+
+    from merian_quake_tpu.accel.build import build_accel, scene_features
+    from merian_quake_tpu.accel.intersect import trace_nearest
+    from merian_quake_tpu.models import materials
+    from merian_quake_tpu.models.procedural import cornell_box
+
+    bundle = cornell_box()
+    feats = scene_features(bundle.scene, bundle.uniforms, bundle.atlas)
+    assert feats.has_alpha_tris is False  # procedural textures are opaque
+    # without the atlas the flag stays conservatively True
+    assert scene_features(bundle.scene, bundle.uniforms).has_alpha_tris
+
+    acc = build_accel(bundle.scene, bundle.atlas)
+    key = jax.random.PRNGKey(3)
+    o = jax.random.uniform(key, (256, 3), minval=-0.8, maxval=0.8)
+    d = jax.random.normal(jax.random.PRNGKey(4), (256, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    slow = trace_nearest(acc, bundle.atlas, o, d, 0.0, materials.T_MAX)
+    fast = trace_nearest(acc, None, o, d, 0.0, materials.T_MAX)
+    np.testing.assert_array_equal(np.asarray(slow.tri), np.asarray(fast.tri))
+    np.testing.assert_allclose(np.asarray(slow.t), np.asarray(fast.t))

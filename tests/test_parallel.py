@@ -61,7 +61,7 @@ def test_sharded_mcpg_matches_single_device():
     accel = build_accel(bundle.scene, bundle.atlas)
     config = RenderConfig(
         width=48, height=16, spp=1, max_path_length=2, integrator="mcpg",
-        features=scene_features(bundle.scene, bundle.uniforms),
+        features=scene_features(bundle.scene, bundle.uniforms, bundle.atlas),
     )
     mcfg = MCPGConfig(mc_adaptive_size=1 << 12, mc_static_size=1 << 10,
                       lc_size=1 << 12)
