@@ -280,25 +280,40 @@ def intersect_woop(
     from .intersect import HitRecord
 
     n = o.shape[0]
-    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    # keep scalar bounds scalar through the sort (no permute needed)
+    t_min_s = jnp.asarray(t_min, jnp.float32)
+    t_max_s = jnp.asarray(t_max, jnp.float32)
     if sort_rays and n >= ray_block:
         perm = jnp.argsort(_sort_keys(accel, o, d))
-        o = jnp.take(o, perm, axis=0)
-        d = jnp.take(d, perm, axis=0)
-        t_min = jnp.take(t_min, perm)
-        t_max = jnp.take(t_max, perm)
+        # ONE packed permute of the ray data instead of per-field takes
+        od = jnp.take(jnp.concatenate([o, d], axis=1), perm, axis=0)
+        o, d = od[:, 0:3], od[:, 3:6]
+        if t_min_s.ndim:
+            t_min_s = jnp.take(t_min_s, perm)
+        if t_max_s.ndim:
+            t_max_s = jnp.take(t_max_s, perm)
         hr = intersect_woop(
-            accel, o, d, t_min, t_max, ray_block=ray_block,
+            accel, o, d, t_min_s, t_max_s, ray_block=ray_block,
             interpret=interpret, sort_rays=False,
         )
+        # un-sort with one packed f32 gather + one i32 gather. tri must
+        # NOT ride bit-cast in an f32 lane: TPU canonicalizes NaN
+        # payloads and flushes denormal bit patterns even through pure
+        # copies, corrupting small/negative indices. A scatter
+        # .at[perm].set is 4x slower than inverse argsort + gather
+        # on TPU (measured), so gathers it is.
         inv = jnp.argsort(perm)
-        return HitRecord(
-            t=jnp.take(hr.t, inv),
-            tri=jnp.take(hr.tri, inv),
-            u=jnp.take(hr.u, inv),
-            v=jnp.take(hr.v, inv),
+        packed = jnp.take(
+            jnp.stack([hr.t, hr.u, hr.v], axis=1), inv, axis=0
         )
+        return HitRecord(
+            t=packed[:, 0],
+            tri=jnp.take(hr.tri, inv),
+            u=packed[:, 1],
+            v=packed[:, 2],
+        )
+    t_min = jnp.broadcast_to(t_min_s, (n,))
+    t_max = jnp.broadcast_to(t_max_s, (n,))
     pad = (-n) % ray_block
     if pad:
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])

@@ -208,23 +208,14 @@ def apply_updates(
                 rs, upq.pos, upq.normal, uniforms.cam_x, mcfg
             )
         buf = buf.astype(jnp.int32)
-        # only id and sum_w of the incumbent matter — ONE packed take
-        # (id rides along bit-cast into the f32 lane)
-        old_pack = jnp.take(
-            jnp.stack(
-                [
-                    jax.lax.bitcast_convert_type(mc.i[:, 0], jnp.float32),
-                    mc.f[:, 3],
-                ],
-                axis=1,
-            ),
-            buf,
-            axis=0,
-        )
-        old_id = jax.lax.bitcast_convert_type(old_pack[:, 0], jnp.int32)
-        old_sum_w = old_pack[:, 1]
+        # only id and sum_w of the incumbent matter — two narrow takes.
+        # (do NOT pack the id bit-cast into an f32 lane: TPU flushes
+        # denormal bit patterns / canonicalizes NaN payloads even in
+        # pure copies, silently corrupting integer payloads)
+        old_id = jnp.take(mc.i[:, 0], buf).astype(_U32)
+        old_sum_w = jnp.take(mc.f[:, 3], buf)
         rs, u_rep = rng_ops.uniform(rs)
-        replace = (old_id.astype(_U32) == new_state.id) | (
+        replace = (old_id == new_state.id) | (
             u_rep < new_state.sum_w / (new_state.sum_w + old_sum_w)
         )
         m = is_winner & replace
