@@ -140,7 +140,10 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
 
     wres = native.build_woop(v0, v1, v2, candidate, CLUSTER_SIZE)
     if wres is not None:
+        from .woop import bake_candidacy
+
         woop_w, woop_cand = wres
+        woop_w = bake_candidacy(woop_w, woop_cand)
     else:
         from .woop import build_woop
 

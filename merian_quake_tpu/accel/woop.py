@@ -5,8 +5,29 @@ takes world points to (u, v, signed-dist) barycentric space (Woop et
 al., "Watertight Ray/Triangle Intersection", JCGT 2013 — the affine
 variant). A ray's transformed origin/direction are then SIX K=4/K=3
 dot products per (triangle, ray) pair — batched over a (C, B) tile
-they become dot_generals that run on the MXU, leaving only ~15
-elementwise VPU ops of epilogue (vs ~45 for Möller-Trumbore).
+they become ONE dot_general on the MXU.
+
+Scheduling is a TPU-native packet traversal (replaces the reference's
+per-ray Vulkan ray-query BVH walk, raytrace.glsl:69-119):
+
+1. XLA-side, each ray block gets a conservative entry parameter
+   t_enter[block, cluster] from an interval-slab test of the block's
+   origin/direction bounding boxes against the cluster AABB
+   (packet-frustum culling; +inf = unreachable).
+2. Clusters are visited in a near-to-far GLOBAL order (distance from
+   the batch's mean ray origin — exact for primary rays, approximate
+   for Morton/octant-sorted bounce blocks), streamed via a
+   scalar-prefetch index map.
+3. The kernel keeps a per-block horizon t̂ = max_r min(best_t_r,
+   t_max_r) in SMEM and SKIPS every tile with t_enter > t̂ — skipped
+   grid steps cost ~1 ns (measured), so early termination after the
+   front-most occluders makes the sweep output-sensitive, like a BVH
+   walk, without divergent per-ray stacks.
+
+The epilogue is division-free (hit tests on dz-premultiplied
+barycentrics); winner u/v are NOT tracked per tile — they are
+recomputed once per ray from the winning triangle's vertices, O(rays)
+instead of O(ray×cluster pairs).
 """
 from __future__ import annotations
 
@@ -21,15 +42,18 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.types import CLUSTER_SIZE
 
 BIG = 3e38
+_INF = jnp.float32(np.inf)
 
 
 def build_woop(v0, v1, v2, candidate) -> tuple[np.ndarray, np.ndarray]:
-    """Host precompute: (w[12, T] packed rows, updated candidate).
+    """Host precompute: (w[3T, 8] packed rows, updated candidate).
 
     Returned w has kernel layout (3T, 8): per CLUSTER_SIZE chunk, the
     chunk's row-0 vectors, then row-1, then row-2 (each [A | b] in
     columns 0-3). Front-facing by the reference's convention
     (n_ref = cross(v2-v0, v1-v0), hit iff d·n_ref < 0) ⇔ dz > 0.
+    Non-candidate triangles get all-zero rows (dz ≡ 0 → never front-
+    facing), so candidacy is baked in and needs no kernel input.
     """
     v0 = np.asarray(v0, np.float64)
     v1 = np.asarray(v1, np.float64)
@@ -49,6 +73,7 @@ def build_woop(v0, v1, v2, candidate) -> tuple[np.ndarray, np.ndarray]:
     assert t % c == 0, (t, c)
     # rows (T, 3, 4): per-triangle affine rows [A | b]
     rows = np.concatenate([inv, b[:, :, None]], axis=2).astype(np.float32)
+    rows = np.where(cand[:, None, None], rows, 0.0)
     # kernel layout (3T, 8): per chunk j the row range [3cj, 3c(j+1)) is
     # [row0s (c); row1s (c); row2s (c)], columns 0-3 used, 4-7 zero
     blocks = rows.reshape(t // c, c, 3, 4).transpose(0, 2, 1, 3)
@@ -57,47 +82,63 @@ def build_woop(v0, v1, v2, candidate) -> tuple[np.ndarray, np.ndarray]:
     return w, cand
 
 
-def _kernel(mask_ref, rays_ref, w_ref, cand_ref, out_ref, idx_ref):
-    i = pl.program_id(0)
+def bake_candidacy(w: np.ndarray, cand: np.ndarray) -> np.ndarray:
+    """Zero the w rows of non-candidate triangles (layout-aware)."""
+    t = cand.shape[0]
+    c = CLUSTER_SIZE
+    mask = np.broadcast_to(
+        np.asarray(cand, bool).reshape(t // c, 1, c), (t // c, 3, c)
+    ).reshape(3 * t)
+    return np.where(mask[:, None], w, 0.0).astype(np.float32)
+
+
+def _kernel(order_ref, rays_ref, te_ref, w_ref, out_ref, idx_ref, that_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         out_ref[0, :] = jnp.full_like(out_ref[0, :], BIG)
-        out_ref[1, :] = jnp.zeros_like(out_ref[1, :])
-        out_ref[2, :] = jnp.zeros_like(out_ref[2, :])
-        out_ref[3, :] = jnp.zeros_like(out_ref[3, :])
         idx_ref[0, :] = jnp.full_like(idx_ref[0, :], -1)
+        that_ref[0] = jnp.max(rays_ref[7, :])  # horizon = max t_max
 
-    # bit-packed reachability word from SMEM (scalar prefetch)
-    word = mask_ref[i, j // 32]
-    reach = (word >> (j % 32)) & 1
+    # te_ref block is this ray block's full (1, 1, nc_pad) entry row
+    # (resident across the j sweep — the index map is constant in j);
+    # lane j is extracted with an iota mask: dynamic lane indexing has
+    # no TPU lowering, a masked reduce is one VPU pass over ~2 vregs.
+    te_row = te_ref[0]  # (1, nc_pad)
+    lane = jax.lax.broadcasted_iota(jnp.int32, te_row.shape, 1)
+    te = jnp.min(jnp.where(lane == j, te_row, jnp.float32(np.inf)))
 
-    @pl.when(reach > 0)
+    @pl.when(te <= that_ref[0])
     def _():
-        _intersect_tile(rays_ref, w_ref, cand_ref, out_ref, idx_ref, j)
+        _intersect_tile(rays_ref, w_ref, out_ref, idx_ref, order_ref[j])
+        that_ref[0] = jnp.max(
+            jnp.minimum(out_ref[0, :], rays_ref[7, :])
+        )
 
 
-def _intersect_tile(rays_ref, w_ref, cand_ref, out_ref, idx_ref, j):
+def _intersect_tile(rays_ref, w_ref, out_ref, idx_ref, cluster_id):
     rays = rays_ref[:]  # (8, B)
-    w = w_ref[:]  # (3C, 8) row blocks [row0s; row1s; row2s], cols 0-3 used
-    cand = cand_ref[:]  # (1, C)
+    w = w_ref[:]  # (3C, 8) row blocks [row0s; row1s; row2s], cols 0-3
     t_min, t_max = rays[6:7], rays[7:8]  # (1, B)
 
     B = rays.shape[1]
-    o_aug = jnp.concatenate([rays[0:3], jnp.ones_like(rays[0:1]), rays[4:8]], axis=0)
-    d_aug = jnp.concatenate([rays[3:6], jnp.zeros_like(rays[0:1]), rays[4:8]], axis=0)
+    o_aug = jnp.concatenate(
+        [rays[0:3], jnp.ones_like(rays[0:1]), rays[4:8]], axis=0
+    )
+    d_aug = jnp.concatenate(
+        [rays[3:6], jnp.zeros_like(rays[0:1]), rays[4:8]], axis=0
+    )
     # rows 4..7 of the augmented vectors are garbage — the matching w
     # columns are zero, so they do not contribute.
     rhs = jnp.concatenate([o_aug, d_aug], axis=1)  # (8, 2B)
 
     # ONE matmul per tile: (3C, 8) @ (8, 2B) → (3C, 2B) on the MXU
-    # (K padded to the register depth; zero columns are free).
     big = jax.lax.dot_general(
         w, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    C = cand.shape[1]
+    C = w.shape[0] // 3
     u0 = big[0:C, 0:B]
     v0 = big[C : 2 * C, 0:B]
     z0 = big[2 * C : 3 * C, 0:B]
@@ -105,40 +146,35 @@ def _intersect_tile(rays_ref, w_ref, cand_ref, out_ref, idx_ref, j):
     dv = big[C : 2 * C, B : 2 * B]
     dz = big[2 * C : 3 * C, B : 2 * B]
 
+    # division-free hit test: multiply the u/v/t conditions through by
+    # dz > 0 (front-facing) — exact sign decisions, no per-pair divides
     front = dz > 1e-12
-    inv_dz = 1.0 / jnp.where(front, dz, 1.0)
-    t = -z0 * inv_dz
-    u = u0 + t * du
-    v = v0 + t * dv
+    z0n = -z0
+    U = u0 * dz - z0 * du  # u·dz ≥ 0  ⇔  u ≥ 0
+    V = v0 * dz - z0 * dv
     ok = (
         front
-        & (cand.T > 0.5)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > t_min)
-        & (t <= t_max)
+        & (U >= 0.0)
+        & (V >= 0.0)
+        & (U + V <= dz)
+        & (z0n > t_min * dz)
+        & (z0n <= t_max * dz)
     )
+    t = z0n / jnp.where(front, dz, 1.0)
     t_m = jnp.where(ok, t, BIG)
 
     best_t = jnp.min(t_m, axis=0)
     arg = jnp.argmin(t_m, axis=0)
-    row = jax.lax.broadcasted_iota(jnp.int32, t_m.shape, 0)
-    sel = row == arg[None, :]
-    best_u = jnp.sum(jnp.where(sel, u, 0.0), axis=0)
-    best_v = jnp.sum(jnp.where(sel, v, 0.0), axis=0)
 
     better = best_t < out_ref[0, :]
     out_ref[0, :] = jnp.where(better, best_t, out_ref[0, :])
-    out_ref[1, :] = jnp.where(better, best_u, out_ref[1, :])
-    out_ref[2, :] = jnp.where(better, best_v, out_ref[2, :])
     idx_ref[0, :] = jnp.where(
-        better, j * C + arg.astype(jnp.int32), idx_ref[0, :]
+        better, cluster_id * C + arg.astype(jnp.int32), idx_ref[0, :]
     )
 
 
-def _cull_mask(rays, cluster_lo, cluster_hi, ray_block):
-    """Conservative (ray-block × cluster) reachability mask.
+def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block):
+    """Conservative (ray-block × cluster) entry parameter.
 
     Interval slab test over the whole ray bundle (packet-tracing
     style): for a block with origin box O, direction box D and max
@@ -150,12 +186,10 @@ def _cull_mask(rays, cluster_lo, cluster_hi, ray_block):
         t_exit_k  ≤ (c_hi − O_lo)/D_lo    nearest origin, etc.)
 
     (mirrored for negative direction intervals; sign-mixed axes give
-    no constraint). The cluster is reachable iff the intersection of
-    the per-axis intervals with [0, t̂] is non-empty — this captures
-    the frustum correlation that axis-aligned reach boxes miss. This
-    is the tile-granular second level of the structure — hierarchy at
-    block granularity instead of a divergent per-ray stack walk.
-    Incoherent blocks degrade gracefully toward the dense sweep.
+    no constraint). Returns f32[nb, nc]: max(t_enter, 0) when the
+    interval intersection with [0, t̂] is non-empty, else +inf. This
+    captures the frustum correlation axis-aligned reach boxes miss;
+    incoherent blocks degrade gracefully toward the dense sweep.
     """
     n = rays.shape[1]
     nb = n // ray_block
@@ -183,9 +217,7 @@ def _cull_mask(rays, cluster_lo, cluster_hi, ray_block):
     t_out_neg = (c_lo - o_hi) / safe_hi_n
 
     t_in = jnp.where(pos, t_in_pos, jnp.where(neg, t_in_neg, 0.0))
-    t_out = jnp.where(
-        pos, t_out_pos, jnp.where(neg, t_out_neg, jnp.inf)
-    )
+    t_out = jnp.where(pos, t_out_pos, jnp.where(neg, t_out_neg, jnp.inf))
     # mixed axes: constrain only by the static slab overlap with the
     # origin box extended by t̂·|D| in both directions
     reach_lo_m = o_lo + t_hat * jnp.minimum(d_lo, 0.0)
@@ -195,52 +227,73 @@ def _cull_mask(rays, cluster_lo, cluster_hi, ray_block):
 
     t_enter = jnp.maximum(t_in.max(axis=-1), 0.0)  # (nb, nc)
     t_exit = jnp.minimum(t_out.min(axis=-1), t_hat[..., 0])
-    m = t_enter <= t_exit
-    # bit-pack along clusters → i32 words for SMEM scalar prefetch
-    nb2, nc = m.shape
-    nw = (nc + 31) // 32
-    pad = nw * 32 - nc
-    mp = jnp.pad(m, ((0, 0), (0, pad))).reshape(nb2, nw, 32)
-    bits = (mp.astype(jnp.int32) << jnp.arange(32, dtype=jnp.int32)).sum(-1)
-    return bits  # (nb, nw) int32
+    return jnp.where(t_enter <= t_exit, t_enter, _INF)
 
 
-@functools.partial(jax.jit, static_argnames=("ray_block", "chunk", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("ray_block", "chunk", "interpret")
+)
 def intersect_woop_packed(
-    rays, w, cand, cluster_lo=None, cluster_hi=None,
+    rays, w, cluster_lo, cluster_hi,
     ray_block: int = 2048, chunk: int = CLUSTER_SIZE,
     interpret: bool = False,
 ):
     n = rays.shape[1]
     t = w.shape[0] // 3
-    grid = (n // ray_block, t // chunk)
-    if cluster_lo is not None:
-        mask = _cull_mask(rays, cluster_lo, cluster_hi, ray_block)
-    else:
-        nb, nc = grid
-        mask = jnp.full((nb, (nc + 31) // 32), -1, jnp.int32)
+    nb, nc = n // ray_block, t // chunk
+    te = _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block)
+
+    # global near-to-far cluster order: distance from the batch's mean
+    # ray origin to the cluster box (clamped-point distance)
+    o_mean = jnp.mean(rays[0:3], axis=1)
+    p = jnp.clip(o_mean[None, :], cluster_lo, cluster_hi)
+    dist = jnp.sum(jnp.square(p - o_mean[None, :]), axis=-1)
+    order = jnp.argsort(dist).astype(jnp.int32)  # (nc,)
+    te = jnp.take(te, order, axis=1)  # columns in visit order
+    nc_pad = ((nc + 127) // 128) * 128
+    te = jnp.pad(te, ((0, 0), (0, nc_pad - nc)), constant_values=np.inf)
+    # (nb, 1, nc_pad): trailing block dims equal the array dims, which
+    # satisfies the TPU (8, 128) block-divisibility rule for any nb
+    te = te[:, None, :]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
+        grid=(nb, nc),
         in_specs=[
-            pl.BlockSpec((8, ray_block), lambda i, j, m: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * chunk, 8), lambda i, j, m: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda i, j, m: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, ray_block), lambda i, j, o: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, nc_pad), lambda i, j, o: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (3 * chunk, 8), lambda i, j, o: (o[j], 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((4, ray_block), lambda i, j, m: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, ray_block), lambda i, j, m: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, ray_block), lambda i, j, o: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, ray_block), lambda i, j, o: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
         ],
+        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
     )
     out, idx = pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((4, n), jnp.float32),
+            jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
         interpret=interpret,
-    )(mask, rays, w, cand)
+    )(order, rays, te, w)
     return out, idx
 
 
@@ -268,15 +321,38 @@ def _sort_keys(accel, o, d):
     return (octant << jnp.uint32(24)) | (morton & jnp.uint32(0xFFFFFF))
 
 
+def _recompute_uv(accel, o, d, t, tri):
+    """Barycentric (u, v) at the committed hit, from the winning
+    triangle's vertices — O(rays) instead of tracking per-tile winners
+    through the sweep (saves ~6 VPU passes per visited tile)."""
+    vattr = jnp.take(accel.tri_attr[:, 0:9], jnp.maximum(tri, 0), axis=0)
+    v0, v1, v2 = vattr[:, 0:3], vattr[:, 3:6], vattr[:, 6:9]
+    p = o + t[:, None] * d
+    e1 = v1 - v0
+    e2 = v2 - v0
+    q = p - v0
+    d00 = jnp.sum(e1 * e1, axis=-1)
+    d01 = jnp.sum(e1 * e2, axis=-1)
+    d11 = jnp.sum(e2 * e2, axis=-1)
+    d20 = jnp.sum(q * e1, axis=-1)
+    d21 = jnp.sum(q * e2, axis=-1)
+    denom = d00 * d11 - d01 * d01
+    inv = 1.0 / jnp.where(jnp.abs(denom) > 1e-18, denom, 1.0)
+    u = (d11 * d20 - d01 * d21) * inv
+    v = (d00 * d21 - d01 * d20) * inv
+    hit = tri >= 0
+    return jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
+
+
 def intersect_woop(
     accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
     sort_rays=False,
 ):
     """HitRecord-compatible Woop-kernel intersection. Requires the accel
-    to carry `woop_w`/`woop_cand` (see build_accel). ``sort_rays`` bins
-    incoherent (bounce) rays by direction octant + origin Morton so the
-    block culling mask stays effective; sorts/permutes are ~free on TPU
-    relative to one trace."""
+    to carry `woop_w` (see build_accel). ``sort_rays`` bins incoherent
+    (bounce) rays by direction octant + origin Morton so the frustum
+    culling and the near-to-far horizon stay effective; sorts/permutes
+    are ~free on TPU relative to one trace."""
     from .intersect import HitRecord
 
     n = o.shape[0]
@@ -287,13 +363,13 @@ def intersect_woop(
         perm = jnp.argsort(_sort_keys(accel, o, d))
         # ONE packed permute of the ray data instead of per-field takes
         od = jnp.take(jnp.concatenate([o, d], axis=1), perm, axis=0)
-        o, d = od[:, 0:3], od[:, 3:6]
+        o_s, d_s = od[:, 0:3], od[:, 3:6]
         if t_min_s.ndim:
             t_min_s = jnp.take(t_min_s, perm)
         if t_max_s.ndim:
             t_max_s = jnp.take(t_max_s, perm)
         hr = intersect_woop(
-            accel, o, d, t_min_s, t_max_s, ray_block=ray_block,
+            accel, o_s, d_s, t_min_s, t_max_s, ray_block=ray_block,
             interpret=interpret, sort_rays=False,
         )
         # un-sort with one packed f32 gather + one i32 gather. tri must
@@ -312,18 +388,23 @@ def intersect_woop(
             u=packed[:, 1],
             v=packed[:, 2],
         )
-    t_min = jnp.broadcast_to(t_min_s, (n,))
-    t_max = jnp.broadcast_to(t_max_s, (n,))
+    t_min_b = jnp.broadcast_to(t_min_s, (n,))
+    t_max_b = jnp.broadcast_to(t_max_s, (n,))
     pad = (-n) % ray_block
+    o_p, d_p = o, d
     if pad:
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
-        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
-        t_min = jnp.concatenate([t_min, jnp.zeros((pad,))])
-        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0)])
-    rays = jnp.concatenate([o.T, d.T, t_min[None], t_max[None]], axis=0)
+        o_p = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d_p = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_min_b = jnp.concatenate([t_min_b, jnp.zeros((pad,))])
+        t_max_b = jnp.concatenate([t_max_b, jnp.full((pad,), -1.0)])
+    rays = jnp.concatenate(
+        [o_p.T, d_p.T, t_min_b[None], t_max_b[None]], axis=0
+    )
     out, idx = intersect_woop_packed(
-        rays, accel.woop_w, accel.woop_cand,
-        cluster_lo=accel.cluster_lo, cluster_hi=accel.cluster_hi,
+        rays, accel.woop_w,
+        accel.cluster_lo, accel.cluster_hi,
         ray_block=ray_block, interpret=interpret,
     )
-    return HitRecord(t=out[0, :n], tri=idx[0, :n], u=out[1, :n], v=out[2, :n])
+    t, tri = out[0, :n], idx[0, :n]
+    u, v = _recompute_uv(accel, o, d, t, tri)
+    return HitRecord(t=t, tri=tri, u=u, v=v)

@@ -43,6 +43,11 @@ class MCPGConfig(NamedTuple):
     # chain limits (mc.glsl / compute_updates.comp)
     ml_max_n: int = 1024
     ml_min_alpha: float = 0.01
+    # per-frame budget of distinct cells receiving MC updates; segments
+    # past it drop, like the reference's full ≤10-slot per-cell queues
+    # (grid.h:23-35). 2^19 covers a 1080p frame's touched-cell count
+    # with wide margin (≤ pixels × bounces, heavily shared).
+    update_cell_capacity: int = 1 << 19
     lc_max_n: int = 128
     lc_min_alpha: float = 0.01
     # vMF sharpness cap. The reference lets kappa run to the fp32 limit

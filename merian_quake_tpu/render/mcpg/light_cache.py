@@ -73,29 +73,59 @@ def lc_update_batch(
 
     pos/normal/irr: [M, 3]; mask: bool[M]. Returns
     (rng, new lc, applied_cells, merged_samples).
+
+    Aggregation is sort-based (ops/segments.py): duplicate-index
+    scatter-adds serialize on TPU (~140 ms per 8.3M-row scatter vs
+    ~25 ms for the sort). Per-cell mean irradiance comes from segment
+    sums; the representative sample (→ coarse-level re-init site) is
+    the segment-end row — an arbitrary frame winner, like the lock.
     """
+    import jax
+
+    from ...ops import segments
+
     mask = mask & jnp.isfinite(irr).all(axis=-1)
     level = _lc_level(pos, cam_x, cfg)
     rng_state, buf, h = _lc_cell(rng_state, pos, normal, level, cfg)
-    bi = buf.astype(jnp.int32)
     L = cfg.lc_size
+    bi = jnp.where(mask, buf.astype(jnp.int32), L)
 
-    mf = mask.astype(jnp.float32)
-    # ONE packed scatter-add (count + irr sum) and ONE packed scatter-set
-    # (representative sample per cell — arbitrary winner, like the lock)
-    add_rows = jnp.concatenate([mf[:, None], irr * mf[:, None]], axis=1)
-    acc = jnp.zeros((L, 4)).at[bi].add(add_rows)
-    count = acc[:, 0]
-    sum_irr = acc[:, 1:4]
-    bi_m = jnp.where(mask, bi, L)
-    rep_rows = jnp.concatenate(
-        [pos, normal, level[:, None], h.astype(jnp.float32)[:, None]], axis=1
+    segs, cols = segments.sort_segments(
+        bi,
+        [
+            irr[:, 0], irr[:, 1], irr[:, 2],
+            pos[:, 0], pos[:, 1], pos[:, 2],
+            normal[:, 0], normal[:, 1], normal[:, 2],
+            level,
+            h.astype(jnp.int32),
+        ],
     )
-    rep = jnp.zeros((L, 8)).at[bi_m].set(rep_rows, mode="drop")
-    rep_pos = rep[:, 0:3]
-    rep_norm = rep[:, 3:6]
-    rep_level = rep[:, 6]
-    new_hash = rep[:, 7].astype(_U32)
+    (ix, iy, iz, px, py, pz, nx, ny, nz, lvl_s, h_s) = cols
+    acc = segments.seg_sum(
+        segs,
+        jnp.stack([jnp.ones_like(ix), ix, iy, iz], axis=1),
+    )  # (M, 4) per-cell count + irr sum, valid at end rows
+    f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    i2f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    packed = jnp.concatenate(
+        [
+            f2i(acc),  # 0:4 count, sum_irr
+            f2i(jnp.stack([px, py, pz, nx, ny, nz, lvl_s], axis=1)),  # 4:11
+            h_s[:, None],  # 11
+        ],
+        axis=1,
+    )
+    # compact straight into per-cell slots: the sort key IS the cell
+    idx = jnp.where(segs.is_end, segs.cell, L)
+    cellrow = jnp.zeros((L, 12), jnp.int32).at[idx].set(
+        packed, mode="drop", indices_are_sorted=True, unique_indices=True
+    )
+    count = i2f(cellrow[:, 0])
+    sum_irr = i2f(cellrow[:, 1:4])
+    rep_pos = i2f(cellrow[:, 4:7])
+    rep_norm = i2f(cellrow[:, 7:10])
+    rep_level = i2f(cellrow[:, 10])
+    new_hash = cellrow[:, 11].astype(_U32)
 
     touched = count > 0.0
     mean_irr = sum_irr / jnp.maximum(count, 1.0)[..., None]
@@ -125,5 +155,5 @@ def lc_update_batch(
         N=jnp.where(touched, new_n, lc.N),
     )
     applied = touched.sum().astype(_U32)
-    merged = (mf.sum() - touched.sum()).astype(_U32)
+    merged = (mask.sum() - touched.sum()).astype(_U32)
     return rng_state, out, applied, merged

@@ -1,4 +1,4 @@
-"""Two-phase Markov-chain update replay (TPU formulation).
+"""Two-phase Markov-chain update replay (TPU formulation, sort-based).
 
 Port of res/shader/render_mcpg/compute_updates.comp. The reference
 replays ≤10 queued samples per cell sequentially (EWA chain update with
@@ -6,23 +6,37 @@ id-mismatch chain restarts), weighted-reservoir-samples one winning
 state, and stochastically writes the winner into BOTH grids keeping the
 incumbent with probability old.sum_w/(new+old).
 
-TPU adaptation (no atomics, no per-cell serial loops):
-- per-cell sample groups form via scatter-adds keyed on the cell index;
+TPU adaptation (no atomics, no per-cell serial loops) — and no
+duplicate-index scatter-adds either: XLA lowers those to a serialized
+update loop (~140 ms per scatter for an 8.3M-row frame queue on v5e),
+so per-cell sample groups are formed by ONE two-key sort instead
+(~25 ms; see ops/segments.py):
+
+- sort samples by (cell, negated reservoir race key): groups become
+  contiguous segments and the race winner (Efraimidis–Spirakis:
+  argmin -log(u)/weight) lands on each segment's END row;
 - the sequential EWA over k same-id samples collapses to one batched
   EWA step with effective alpha 1-(1-α)^k against the group mean
   (second-order-equivalent for the reference's k ≤ 10);
-- the weighted reservoir becomes an exponential race (Efraimidis-
-  Spirakis): winner = argmin(-log(u)/weight) per cell via scatter-min;
 - the winner's stochastic grid writes keep the reference's replacement
-  rule; duplicate-cell writers resolve by XLA scatter order (the
-  reference has the same benign race between workgroups).
+  rule, applied from a compacted per-touched-cell buffer (segments past
+  ``update_cell_capacity`` drop, like the reference's full ≤10-slot
+  queues, grid.h:23-35).
+
+Divergences from the reference (documented):
+- the race weight of a matching sample is the cell's PRE-update sum_w
+  (the reference uses the evolving post-replay value; within one cell
+  these differ only by the replay-order EWA drift);
+- the winner's mv is the w-weighted mean of the frame's matching
+  samples (reference: last replayed sample's mv);
+- the replacement RNG is seeded per (cell, frame), not per sample.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from ...ops import linalg, rng as rng_ops
+from ...ops import linalg, rng as rng_ops, segments
 from .config import MCPGConfig, MCPGState, MCStates
 from . import grids
 from .light_cache import lc_update_batch
@@ -32,15 +46,14 @@ _U32 = jnp.uint32
 _BIGF = jnp.float32(3e38)
 
 
-def _scatter_state(mc: MCStates, idx, st: grids.StateSample, mask) -> MCStates:
-    """Masked scatter of per-sample states — TWO packed scatters
-    (out-of-bounds rows drop with mode='drop')."""
-    safe_idx = jnp.where(mask, idx, mc.f.shape[0])
-    f_rows, i_rows = grids.pack_sample(st)
-    return MCStates(
-        f=mc.f.at[safe_idx].set(f_rows, mode="drop"),
-        i=mc.i.at[safe_idx].set(i_rows, mode="drop"),
-    )
+def _f2i(x):
+    """f32 → i32 lanes (safe: integer lanes never canonicalize bits —
+    the REVERSE direction flushes denormals/NaN payloads on TPU)."""
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _i2f(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
 def apply_updates(
@@ -62,7 +75,7 @@ def apply_updates(
 
     # per-sample rng streams for the replay phase
     rs = rng_ops.seed_pixel(
-        jnp.arange(M, dtype=jnp.uint32), 0, uniforms.frame, rng_key
+        jnp.arange(M, dtype=_U32), 0, uniforms.frame, rng_key
     )
 
     # ---- 1. fast-recovery zeroing (mcpg.comp:175-178) ----
@@ -72,7 +85,7 @@ def apply_updates(
     # ---- 2. light cache ----
     lcq = result.lc_samples
     rng_lc = rng_ops.seed_pixel(
-        jnp.arange(lcq.mask.shape[0], dtype=jnp.uint32), 1, uniforms.frame, rng_key
+        jnp.arange(lcq.mask.shape[0], dtype=_U32), 1, uniforms.frame, rng_key
     )
     _, lc, applied, merged = lc_update_batch(
         rng_lc,
@@ -85,145 +98,171 @@ def apply_updates(
         mcfg,
     )
 
-    # ---- 3. MC chain replay ----
-    cells = jnp.where(upq.mask, upq.cell, S - 1).astype(jnp.int32)
-    mask_f = upq.mask.astype(jnp.float32)
-    inc = grids.gather_state(mc, cells)
-    match = (inc.id == upq.id) & upq.mask
-    match_f = match.astype(jnp.float32)
+    # ---- 3. MC chain replay: pre-sort per-sample quantities ----
+    cells = jnp.where(upq.mask, upq.cell, S).astype(jnp.int32)
+    inc_f = jnp.take(mc.f, jnp.minimum(cells, S - 1), axis=0)  # (M, 9)
+    inc_i = jnp.take(mc.i, jnp.minimum(cells, S - 1), axis=0)  # (M, 3)
+    inc_id = inc_i[:, 0].astype(_U32)
+    inc_sum_w = inc_f[:, 3]
+    match = (inc_id == upq.id) & upq.mask
 
-    # group aggregates (matching samples only) — ONE packed scatter-add
-    agg_rows = jnp.concatenate(
+    # reservoir race key (winner = min); sorted DESC via negation so the
+    # winner is the segment-end row
+    rs, u_race = rng_ops.uniform(rs)
+    cand_w = jnp.where(match, inc_sum_w, upq.w)
+    race = -jnp.log(jnp.maximum(u_race, 1e-12)) / jnp.maximum(cand_w, 1e-20)
+    key2 = jnp.where(upq.mask, -race, -_BIGF)
+
+    # save-site cells (stochastic level/jitter drawn per sample, as in
+    # compute_updates.comp:98-121)
+    rs, sbuf, shash = grids.static_cell(rs, upq.pos, mcfg)
+    rs, abuf, ahash = grids.adaptive_cell(
+        rs, upq.pos, upq.normal, uniforms.cam_x, mcfg
+    )
+
+    mf = match.astype(jnp.float32)
+    vf = upq.mask.astype(jnp.float32)
+
+    segs, cols = segments.sort_segments(
+        cells,
         [
-            match_f[:, None],
-            (upq.w * match_f)[:, None],
-            upq.w[:, None] * upq.target * match_f[:, None],
+            upq.w,
+            mf,
+            vf,
+            upq.target[:, 0], upq.target[:, 1], upq.target[:, 2],
+            upq.pos[:, 0], upq.pos[:, 1], upq.pos[:, 2],
+            upq.mv[:, 0], upq.mv[:, 1], upq.mv[:, 2],
+            upq.id.astype(jnp.int32),
+            abuf.astype(jnp.int32),
+            ahash.astype(jnp.int32),
+            sbuf.astype(jnp.int32),
+            shash.astype(jnp.int32),
         ],
-        axis=1,
-    )  # (M, 5): count, w, w*target
-    agg = jnp.zeros((S, 5)).at[cells].add(agg_rows)
-    k_m = agg[:, 0]
-    sum_w_g = agg[:, 1]
-    sum_wt_g = agg[:, 2:5]
-    cells_match = jnp.where(match, cells, S)  # drop non-matching writers
-    mv_rep = jnp.zeros((S, 3)).at[cells_match].set(upq.mv, mode="drop")
+        tiebreak=key2,
+    )
+    (w_s, m_s, v_s, tx, ty, tz, px, py, pz, mvx, mvy, mvz,
+     id_s, abuf_s, ahash_s, sbuf_s, shash_s) = cols
+    tgt_s = jnp.stack([tx, ty, tz], axis=1)
+    pos_s = jnp.stack([px, py, pz], axis=1)
+    mv_s = jnp.stack([mvx, mvy, mvz], axis=1)
 
-    touched = k_m > 0.0
+    # ---- segment aggregates over MATCHING samples ----
+    mw = m_s * w_s
+    agg = segments.seg_sum(
+        segs,
+        jnp.concatenate(
+            [m_s[:, None], mw[:, None], mw[:, None] * tgt_s,
+             mw[:, None] * mv_s],
+            axis=1,
+        ),
+    )  # (M, 8): k, sum_w, sum_wt(3), sum_wmv(3) — per-cell totals
+    k_m, sum_w_g, sum_wt_g, sum_wmv_g = (
+        agg[:, 0], agg[:, 1], agg[:, 2:5], agg[:, 5:8]
+    )
+
+    cell_rd = jnp.minimum(segs.cell, S - 1)
+    cur_f = jnp.take(mc.f, cell_rd, axis=0, indices_are_sorted=True)
+    cur_i = jnp.take(mc.i, cell_rd, axis=0, indices_are_sorted=True)
+
     kf = jnp.maximum(k_m, 1.0)
     mean_w = sum_w_g / kf
     mean_wt = sum_wt_g / kf[..., None]
-
-    n_new = jnp.minimum(mc.N + k_m.astype(jnp.int32), mcfg.ml_max_n)
+    n_new = jnp.minimum(cur_i[:, 1] + k_m.astype(jnp.int32), mcfg.ml_max_n)
     alpha = jnp.maximum(1.0 / jnp.maximum(n_new, 1), mcfg.ml_min_alpha)
     alpha_eff = 1.0 - jnp.power(1.0 - alpha, k_m)
-    upd_sum_w = mc.sum_w + (mean_w - mc.sum_w) * alpha_eff
-    upd_w_tgt = mc.w_tgt + (mean_wt - mc.w_tgt) * alpha_eff[..., None]
+    upd_sum_w = cur_f[:, 3] + (mean_w - cur_f[:, 3]) * alpha_eff
+    upd_w_tgt = cur_f[:, 0:3] + (mean_wt - cur_f[:, 0:3]) * alpha_eff[..., None]
+    mean_mv = sum_wmv_g / jnp.maximum(sum_w_g, 1e-20)[..., None]
 
     # cos term against the POST-update state direction (GLSL inout
     # mutation order in mc_update, compute_updates.comp:48-52: sum_w and
-    # w_tgt are written BEFORE w_cos reads mc_state_dir). This is what
+    # w_tgt are written BEFORE w_cos reads mc_state_dir). This
     # bootstraps guiding: a fresh chain's first light-find gives cos = 1
-    # → mean cos ≈ 1 → a sharp vMF lobe at the light.
-    #
-    # All post-update per-cell fields a sample needs are packed into ONE
-    # (S, 8) row so the M-row gather happens once — separate takes of
-    # the same index vector each pay the full gather cost on TPU.
-    upd_pack = jnp.concatenate(
+    # → mean cos ≈ 1 → a sharp vMF lobe at the light. The post-update
+    # values live on end rows; ONE sorted gather broadcasts them back.
+    post = segments.broadcast_from_end(
+        segs, jnp.concatenate([upd_w_tgt, upd_sum_w[:, None]], axis=1)
+    )
+    pos_post = jnp.where(
+        (post[:, 3] > 0.0)[..., None],
+        post[:, 0:3] / jnp.where(post[:, 3] == 0.0, 1.0, post[:, 3])[..., None],
+        post[:, 0:3],
+    )
+    dir_post = linalg.normalize(pos_post - pos_s)
+    cos_post = jnp.maximum(
+        0.0, linalg.dot(linalg.normalize(tgt_s - pos_s), dir_post)
+    )
+    sum_wc_g = segments.seg_sum(segs, mw * cos_post)
+    mean_wc = sum_wc_g / kf
+    upd_w_cos = jnp.minimum(
+        cur_f[:, 4] + (mean_wc - cur_f[:, 4]) * alpha_eff, upd_sum_w
+    )
+
+    # ---- winner state (valid at end rows) ----
+    winner_match = m_s > 0.5
+    # matched winner → the post-EWA cell state; fresh winner → a new
+    # chain from the sample (cos = 1 by construction, mcpg fresh path)
+    new_f = jnp.where(
+        winner_match[:, None],
+        jnp.concatenate(
+            [upd_w_tgt, upd_sum_w[:, None], upd_w_cos[:, None], mean_mv],
+            axis=1,
+        ),
+        jnp.concatenate(
+            [w_s[:, None] * tgt_s, w_s[:, None], w_s[:, None], mv_s], axis=1
+        ),
+    )  # (M, 8): w_tgt3, sum_w, w_cos, mv3
+    new_id = jnp.where(winner_match, cur_i[:, 0], id_s)
+    new_n = jnp.where(winner_match, n_new, 1)
+
+    # ---- compact winners to one row per touched cell ----
+    cap = int(min(S + 1, mcfg.update_cell_capacity))
+    packed = jnp.concatenate(
         [
-            upd_w_tgt,  # 0:3
-            upd_sum_w[:, None],  # 3
-            mv_rep,  # 4:7
-            n_new.astype(jnp.float32)[:, None],  # 7
+            _f2i(new_f),  # 0:8
+            new_id[:, None],  # 8
+            new_n[:, None],  # 9
+            abuf_s[:, None], ahash_s[:, None],  # 10, 11
+            sbuf_s[:, None], shash_s[:, None],  # 12, 13
+            (v_s > 0.5).astype(jnp.int32)[:, None],  # 14 winner valid
         ],
         axis=1,
     )
-    g1 = jnp.take(upd_pack, cells, axis=0)  # (M, 8)
-    g_wtgt, g_sumw, g_mv = g1[:, 0:3], g1[:, 3], g1[:, 4:7]
-    pos_post = jnp.where(
-        (g_sumw > 0.0)[..., None],
-        g_wtgt / jnp.where(g_sumw == 0.0, 1.0, g_sumw)[..., None],
-        g_wtgt,
-    )
-    dir_post = linalg.normalize(pos_post - upq.pos)
-    cos_post = jnp.maximum(
-        0.0, linalg.dot(linalg.normalize(upq.target - upq.pos), dir_post)
-    )
-    sum_wc_g = jnp.zeros((S,)).at[cells].add(upq.w * cos_post * match_f)
-    mean_wc = sum_wc_g / kf
-    upd_w_cos = jnp.minimum(
-        mc.w_cos + (mean_wc - mc.w_cos) * alpha_eff, upd_sum_w
-    )
-    # fresh (id-mismatch) candidates: post-update dir points exactly at
-    # the target → cos = 1
-    cos_fresh = jnp.ones_like(upq.w)
+    wrow = segments.compact_ends(segs, packed, cap)  # (cap, 15) i32
+    win_f = _i2f(wrow[:, 0:8])
+    win_id = wrow[:, 8].astype(_U32)
+    win_n = wrow[:, 9]
+    win_valid = wrow[:, 14] > 0
 
-    # ---- reservoir winner per cell (exponential race) ----
-    rs, u_race = rng_ops.uniform(rs)
-    cand_w = jnp.where(match, g_sumw, upq.w)  # post-update weight
-    key = -jnp.log(jnp.maximum(u_race, 1e-12)) / jnp.maximum(cand_w, 1e-20)
-    key = jnp.where(upq.mask, key, _BIGF)
-    min_key = jnp.full((S,), _BIGF).at[cells].min(key)
-
-    # winner's state per sample: reuse the packed g1 gather; id/hash come
-    # from the pre-update `inc` gather (unchanged by the EWA step); only
-    # w_cos and min_key need a second gather — both depend on scatters
-    # that themselves consume g1, so pack the two into one take.
-    g2 = jnp.take(jnp.stack([min_key, upd_w_cos], axis=1), cells, axis=0)
-    is_winner = upq.mask & (key == g2[:, 0]) & (key < _BIGF)
-    g_wcos = g2[:, 1]
-    upd_at = grids.StateSample(
-        id=inc.id,
-        w_tgt=g_wtgt,
-        sum_w=g_sumw,
-        w_cos=g_wcos,
-        mv=g_mv,
-        T=jnp.full((M,), uniforms.cl_time),
-        N=g1[:, 7].astype(jnp.int32),
-        hash=inc.hash,
-    )
-    fresh_st = grids.StateSample(
-        id=upq.id,
-        w_tgt=upq.w[..., None] * upq.target,
-        sum_w=upq.w,
-        w_cos=jnp.minimum(upq.w * cos_fresh, upq.w),
-        mv=upq.mv,
-        T=jnp.full((M,), uniforms.cl_time),
-        N=jnp.ones((M,), jnp.int32),
-        hash=jnp.zeros((M,), _U32),
-    )
-    sel = lambda a, b: grids.StateSample(
-        *[
-            jnp.where(match[..., None] if x.ndim > 1 else match, x, y)
-            for x, y in zip(a, b)
-        ]
-    )
-    new_state = sel(upd_at, fresh_st)
-
-    # ---- stochastic saves into BOTH grids (compute_updates.comp:98-121) ----
-    def save(mc: MCStates, rs, which: str) -> tuple:
-        if which == "static":
-            rs, buf, h = grids.static_cell(rs, upq.pos, mcfg)
-        else:
-            rs, buf, h = grids.adaptive_cell(
-                rs, upq.pos, upq.normal, uniforms.cam_x, mcfg
-            )
-        buf = buf.astype(jnp.int32)
-        # only id and sum_w of the incumbent matter — two narrow takes.
-        # (do NOT pack the id bit-cast into an f32 lane: TPU flushes
-        # denormal bit patterns / canonicalizes NaN payloads even in
-        # pure copies, silently corrupting integer payloads)
-        old_id = jnp.take(mc.i[:, 0], buf).astype(_U32)
-        old_sum_w = jnp.take(mc.f[:, 3], buf)
-        rs, u_rep = rng_ops.uniform(rs)
-        replace = (old_id == new_state.id) | (
-            u_rep < new_state.sum_w / (new_state.sum_w + old_sum_w)
+    # ---- stochastic saves into BOTH grids (compute_updates.comp:98-121)
+    def save(mc: MCStates, buf, site_hash, stream: int) -> MCStates:
+        old_f = jnp.take(mc.f, buf, axis=0)
+        old_i = jnp.take(mc.i, buf, axis=0)
+        old_id = old_i[:, 0].astype(_U32)
+        old_sum_w = old_f[:, 3]
+        cell_rng = rng_ops.seed_pixel(
+            buf.astype(_U32), 3 + stream, uniforms.frame, rng_key
         )
-        m = is_winner & replace
-        st = new_state._replace(hash=h)
-        return rs, _scatter_state(mc, buf, st, m)
+        _, u_rep = rng_ops.uniform(cell_rng)
+        new_sum_w = win_f[:, 3]
+        replace = win_valid & (
+            (old_id == win_id)
+            | (u_rep < new_sum_w / (new_sum_w + old_sum_w))
+        )
+        idx = jnp.where(replace, buf, S)
+        f_rows = jnp.concatenate(
+            [win_f, jnp.full((cap, 1), uniforms.cl_time, jnp.float32)], axis=1
+        )
+        i_rows = jnp.stack(
+            [win_id.astype(jnp.int32), win_n, site_hash], axis=1
+        )
+        return MCStates(
+            f=mc.f.at[idx].set(f_rows, mode="drop"),
+            i=mc.i.at[idx].set(i_rows, mode="drop"),
+        )
 
-    rs, mc = save(mc, rs, "static")
-    rs, mc = save(mc, rs, "adaptive")
+    mc = save(mc, wrow[:, 12], wrow[:, 13], 0)  # static grid
+    mc = save(mc, wrow[:, 10], wrow[:, 11], 1)  # adaptive grid
 
     return MCPGState(
         mc=mc,

@@ -3,7 +3,7 @@ import numpy as np
 import pytest
 
 from merian_quake_tpu.utils import native
-from merian_quake_tpu.accel.woop import build_woop as woop_np
+from merian_quake_tpu.accel.woop import bake_candidacy, build_woop as woop_np
 from merian_quake_tpu.models.types import CLUSTER_SIZE
 
 
@@ -71,4 +71,8 @@ def test_woop_matches_numpy(rng, lib):
     w_n, cand_n = native.build_woop(v0, v1, v2, cand, CLUSTER_SIZE)
     w_p, cand_p = woop_np(v0, v1, v2, cand)
     np.testing.assert_array_equal(cand_n, cand_p)
-    np.testing.assert_allclose(w_n, w_p, rtol=1e-5, atol=1e-7)
+    # the python builder bakes candidacy (zeroed rows); native returns
+    # raw rows and build_accel bakes afterwards — compare post-bake
+    np.testing.assert_allclose(
+        bake_candidacy(w_n, cand_n), w_p, rtol=1e-5, atol=1e-7
+    )
