@@ -360,34 +360,41 @@ def intersect_woop(
     t_min_s = jnp.asarray(t_min, jnp.float32)
     t_max_s = jnp.asarray(t_max, jnp.float32)
     if sort_rays and n >= ray_block:
-        perm = jnp.argsort(_sort_keys(accel, o, d))
-        # ONE packed permute of the ray data instead of per-field takes
-        od = jnp.take(jnp.concatenate([o, d], axis=1), perm, axis=0)
-        o_s, d_s = od[:, 0:3], od[:, 3:6]
+        # permutes are done by CARRYING the data through lax.sort, not
+        # by argsort + take: an n-row gather serializes on TPU
+        # (~27 ns/row) while one extra sort operand is ~free. Forward:
+        # sort by the coherence key carrying (o, d, bounds, iota);
+        # backward: sort by the carried iota carrying the hit record.
+        key = _sort_keys(accel, o, d).astype(jnp.int32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        ops = [key, iota, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
+               d[:, 2]]
+        nb = 8
         if t_min_s.ndim:
-            t_min_s = jnp.take(t_min_s, perm)
+            ops.append(t_min_s)
         if t_max_s.ndim:
-            t_max_s = jnp.take(t_max_s, perm)
+            ops.append(t_max_s)
+        out = jax.lax.sort(ops, num_keys=1)
+        pos = out[1]
+        o_s = jnp.stack(out[2:5], axis=1)
+        d_s = jnp.stack(out[5:8], axis=1)
+        if t_min_s.ndim:
+            t_min_s = out[nb]
+            nb += 1
+        if t_max_s.ndim:
+            t_max_s = out[nb]
         hr = intersect_woop(
             accel, o_s, d_s, t_min_s, t_max_s, ray_block=ray_block,
             interpret=interpret, sort_rays=False,
         )
-        # un-sort with one packed f32 gather + one i32 gather. tri must
-        # NOT ride bit-cast in an f32 lane: TPU canonicalizes NaN
+        # un-sort: sort by original position carrying the results. tri
+        # must NOT ride bit-cast in an f32 lane: TPU canonicalizes NaN
         # payloads and flushes denormal bit patterns even through pure
-        # copies, corrupting small/negative indices. A scatter
-        # .at[perm].set is 4x slower than inverse argsort + gather
-        # on TPU (measured), so gathers it is.
-        inv = jnp.argsort(perm)
-        packed = jnp.take(
-            jnp.stack([hr.t, hr.u, hr.v], axis=1), inv, axis=0
+        # copies, corrupting small/negative indices.
+        back = jax.lax.sort(
+            [pos, hr.t, hr.u, hr.v, hr.tri], num_keys=1
         )
-        return HitRecord(
-            t=packed[:, 0],
-            tri=jnp.take(hr.tri, inv),
-            u=packed[:, 1],
-            v=packed[:, 2],
-        )
+        return HitRecord(t=back[1], tri=back[4], u=back[2], v=back[3])
     t_min_b = jnp.broadcast_to(t_min_s, (n,))
     t_max_b = jnp.broadcast_to(t_max_s, (n,))
     pad = (-n) % ray_block

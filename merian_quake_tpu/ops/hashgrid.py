@@ -56,10 +56,19 @@ def _hash2_coords(vals) -> jnp.ndarray:
 
 
 def quantize_normal(normal: jnp.ndarray) -> jnp.ndarray:
-    """Dominant-axis bucket 0..5 so states are split per face orientation."""
-    ax = jnp.argmax(jnp.abs(normal), axis=-1)
-    sign = jnp.take_along_axis(normal, ax[..., None], axis=-1)[..., 0] < 0.0
-    return (ax.astype(jnp.int32) * 2 + sign.astype(jnp.int32)).astype(_U32)
+    """Dominant-axis bucket 0..5 so states are split per face orientation.
+
+    Pure selects — argmax + take_along_axis lower to an M-row gather on
+    TPU (~27 ns/row serial; measured 200 ms at 8.3M rows) while this
+    fuses into the surrounding elementwise graph for ~free.
+    """
+    nx, ny, nz = normal[..., 0], normal[..., 1], normal[..., 2]
+    ax, ay, az = jnp.abs(nx), jnp.abs(ny), jnp.abs(nz)
+    is_x = (ax >= ay) & (ax >= az)  # first-max tie-break like argmax
+    is_y = (~is_x) & (ay >= az)
+    axis = jnp.where(is_x, 0, jnp.where(is_y, 1, 2))
+    val = jnp.where(is_x, nx, jnp.where(is_y, ny, nz))
+    return (axis * 2 + (val < 0.0).astype(jnp.int32)).astype(_U32)
 
 
 def hash_grid(idx: jnp.ndarray, size) -> jnp.ndarray:

@@ -74,14 +74,15 @@ def lc_update_batch(
     pos/normal/irr: [M, 3]; mask: bool[M]. Returns
     (rng, new lc, applied_cells, merged_samples).
 
-    Aggregation is sort-based (ops/segments.py): duplicate-index
-    scatter-adds serialize on TPU (~140 ms per 8.3M-row scatter vs
-    ~25 ms for the sort). Per-cell mean irradiance comes from segment
-    sums; the representative sample (→ coarse-level re-init site) is
+    Aggregation is sort-based and COMPACT-FIRST (ops/segments.py):
+    duplicate-index scatter-adds and M-row gathers both serialize on
+    TPU, so after one sort the per-cell math runs entirely on the
+    compacted segment-end rows (≤ update_cell_capacity), and only
+    capacity-row scatters touch the cache arrays. Per-cell mean
+    irradiance comes from cumulative-sum differences at compacted end
+    rows; the representative sample (→ coarse-level re-init site) is
     the segment-end row — an arbitrary frame winner, like the lock.
     """
-    import jax
-
     from ...ops import segments
 
     mask = mask & jnp.isfinite(irr).all(axis=-1)
@@ -89,70 +90,65 @@ def lc_update_batch(
     rng_state, buf, h = _lc_cell(rng_state, pos, normal, level, cfg)
     L = cfg.lc_size
     bi = jnp.where(mask, buf.astype(jnp.int32), L)
+    mf = mask.astype(jnp.float32)
+    # sanitize non-finite rows BEFORE the cumulative sum (0*inf = NaN)
+    irr = jnp.where(mask[:, None], irr, 0.0)
 
     segs, cols = segments.sort_segments(
         bi,
         [
-            irr[:, 0], irr[:, 1], irr[:, 2],
+            irr[:, 0], irr[:, 1], irr[:, 2], mf,
             pos[:, 0], pos[:, 1], pos[:, 2],
             normal[:, 0], normal[:, 1], normal[:, 2],
             level,
             h.astype(jnp.int32),
         ],
     )
-    (ix, iy, iz, px, py, pz, nx, ny, nz, lvl_s, h_s) = cols
-    acc = segments.seg_sum(
-        segs,
-        jnp.stack([jnp.ones_like(ix), ix, iy, iz], axis=1),
-    )  # (M, 4) per-cell count + irr sum, valid at end rows
-    f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
-    i2f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
-    packed = jnp.concatenate(
-        [
-            f2i(acc),  # 0:4 count, sum_irr
-            f2i(jnp.stack([px, py, pz, nx, ny, nz, lvl_s], axis=1)),  # 4:11
-            h_s[:, None],  # 11
-        ],
-        axis=1,
-    )
-    # compact straight into per-cell slots: the sort key IS the cell
-    idx = jnp.where(segs.is_end, segs.cell, L)
-    cellrow = jnp.zeros((L, 12), jnp.int32).at[idx].set(
-        packed, mode="drop", indices_are_sorted=True, unique_indices=True
-    )
-    count = i2f(cellrow[:, 0])
-    sum_irr = i2f(cellrow[:, 1:4])
-    rep_pos = i2f(cellrow[:, 4:7])
-    rep_norm = i2f(cellrow[:, 7:10])
-    rep_level = i2f(cellrow[:, 10])
-    new_hash = cellrow[:, 11].astype(_U32)
+    (ix, iy, iz, mf_s, px, py, pz, nx, ny, nz, lvl_s, h_s) = cols
 
-    touched = count > 0.0
+    cap = int(min(L + 1, cfg.update_cell_capacity))
+    comp = segments.compact_indices(segs, cap)
+    cell_c = segments.take_compact(comp, segs.cell, fill=L)
+    acc = segments.compact_sums(
+        comp, jnp.stack([mf_s, ix, iy, iz], axis=1)
+    )  # (cap, 4): count + irr sum per touched cell
+    rep = segments.take_compact(
+        comp,
+        jnp.stack([px, py, pz, nx, ny, nz, lvl_s], axis=1),
+    )
+    new_hash = segments.take_compact(comp, h_s).astype(_U32)
+    count, sum_irr = acc[:, 0], acc[:, 1:4]
+    rep_pos, rep_norm, rep_level = rep[:, 0:3], rep[:, 3:6], rep[:, 6]
+
+    touched = comp.valid & (cell_c < L) & (count > 0.0)
+    cell_r = jnp.minimum(cell_c, L - 1)
     mean_irr = sum_irr / jnp.maximum(count, 1.0)[..., None]
 
+    old_hash = jnp.take(lc.hash, cell_r)
+    old_irr = jnp.take(lc.irr, cell_r, axis=0)
+    old_n = jnp.take(lc.N, cell_r)
+
     # cells whose stored hash mismatches: re-init from one coarser level
-    mismatch = touched & (
-        (lc.hash != new_hash) | ~jnp.isfinite(lc.irr).all(axis=-1)
-    )
-    # per-CELL rng stream for the coarse-level jitter (sample streams are
-    # per-M; this lookup is per-L)
+    mismatch = (old_hash != new_hash) | ~jnp.isfinite(old_irr).all(axis=-1)
+    # per-CELL rng stream for the coarse-level jitter
     cell_rng = rng_ops.seed_pixel(
-        jnp.arange(L, dtype=jnp.uint32), 2, 0, rng_state[0]
+        cell_r.astype(jnp.uint32), 2, 0, rng_state[0]
     )
     _, coarse_irr, coarse_n = _get_level(
         cell_rng, lc, rep_pos, rep_norm, rep_level + 1.0, cfg
     )
-    base_irr = jnp.where(mismatch[..., None], coarse_irr, lc.irr)
-    base_n = jnp.where(mismatch, coarse_n, lc.N)
+    base_irr = jnp.where(mismatch[..., None], coarse_irr, old_irr)
+    base_n = jnp.where(mismatch, coarse_n, old_n)
 
     new_n = jnp.minimum(base_n + 1, cfg.lc_max_n)
     alpha = jnp.maximum(1.0 / jnp.maximum(new_n, 1), cfg.lc_min_alpha)
     new_irr = base_irr + (mean_irr - base_irr) * alpha[..., None]
 
+    idx = jnp.where(touched, cell_c, L)
     out = LightCache(
-        hash=jnp.where(touched, new_hash, lc.hash),
-        irr=jnp.where(touched[..., None], new_irr, lc.irr),
-        N=jnp.where(touched, new_n, lc.N),
+        hash=lc.hash.at[idx].set(new_hash, mode="drop", unique_indices=True),
+        irr=lc.irr.at[idx].set(new_irr, mode="drop", unique_indices=True),
+        N=lc.N.at[idx].set(new_n, mode="drop", unique_indices=True),
     )
     applied = touched.sum().astype(_U32)
     merged = (mask.sum() - touched.sum()).astype(_U32)

@@ -79,8 +79,14 @@ def apply_updates(
     )
 
     # ---- 1. fast-recovery zeroing (mcpg.comp:175-178) ----
-    zero_idx = jnp.where(result.zeros.mask, result.zeros.cell, S)
-    mc = mc._replace(f=mc.f.at[zero_idx, 3].set(0.0, mode="drop"))
+    # compact the zeroed cells with one single-key sort before the
+    # scatter (an M-row scatter serializes, a capacity-row one is ~free;
+    # duplicate cells write the same 0.0 — benign)
+    zcap = int(min(S + 1, mcfg.update_cell_capacity))
+    zsort = jax.lax.sort(
+        [jnp.where(result.zeros.mask, result.zeros.cell, S)], num_keys=1
+    )[0][:zcap]
+    mc = mc._replace(f=mc.f.at[zsort, 3].set(0.0, mode="drop"))
 
     # ---- 2. light cache ----
     lcq = result.lc_samples
@@ -100,10 +106,15 @@ def apply_updates(
 
     # ---- 3. MC chain replay: pre-sort per-sample quantities ----
     cells = jnp.where(upq.mask, upq.cell, S).astype(jnp.int32)
-    inc_f = jnp.take(mc.f, jnp.minimum(cells, S - 1), axis=0)  # (M, 9)
-    inc_i = jnp.take(mc.i, jnp.minimum(cells, S - 1), axis=0)  # (M, 3)
-    inc_id = inc_i[:, 0].astype(_U32)
-    inc_sum_w = inc_f[:, 3]
+    # narrow 2-column incumbent peek (id, sum_w) — M-row gathers from a
+    # SMALL table are the one fast gather shape on TPU (~4 ns/row)
+    inc_tab = jnp.stack(
+        [mc.i[:, 0], jax.lax.bitcast_convert_type(mc.f[:, 3], jnp.int32)],
+        axis=1,
+    )  # (S, 2) i32
+    inc = jnp.take(inc_tab, jnp.minimum(cells, S - 1), axis=0)  # (M, 2)
+    inc_id = inc[:, 0].astype(_U32)
+    inc_sum_w = _i2f(inc[:, 1])
     match = (inc_id == upq.id) & upq.mask
 
     # reservoir race key (winner = min); sorted DESC via negation so the
@@ -113,56 +124,52 @@ def apply_updates(
     race = -jnp.log(jnp.maximum(u_race, 1e-12)) / jnp.maximum(cand_w, 1e-20)
     key2 = jnp.where(upq.mask, -race, -_BIGF)
 
-    # save-site cells (stochastic level/jitter drawn per sample, as in
-    # compute_updates.comp:98-121)
-    rs, sbuf, shash = grids.static_cell(rs, upq.pos, mcfg)
-    rs, abuf, ahash = grids.adaptive_cell(
-        rs, upq.pos, upq.normal, uniforms.cam_x, mcfg
-    )
-
     mf = match.astype(jnp.float32)
-    vf = upq.mask.astype(jnp.float32)
 
     segs, cols = segments.sort_segments(
         cells,
         [
             upq.w,
             mf,
-            vf,
             upq.target[:, 0], upq.target[:, 1], upq.target[:, 2],
             upq.pos[:, 0], upq.pos[:, 1], upq.pos[:, 2],
             upq.mv[:, 0], upq.mv[:, 1], upq.mv[:, 2],
+            upq.normal[:, 0], upq.normal[:, 1], upq.normal[:, 2],
             upq.id.astype(jnp.int32),
-            abuf.astype(jnp.int32),
-            ahash.astype(jnp.int32),
-            sbuf.astype(jnp.int32),
-            shash.astype(jnp.int32),
         ],
         tiebreak=key2,
     )
-    (w_s, m_s, v_s, tx, ty, tz, px, py, pz, mvx, mvy, mvz,
-     id_s, abuf_s, ahash_s, sbuf_s, shash_s) = cols
+    (w_s, m_s, tx, ty, tz, px, py, pz, mvx, mvy, mvz,
+     nx, ny, nz, id_s) = cols
     tgt_s = jnp.stack([tx, ty, tz], axis=1)
     pos_s = jnp.stack([px, py, pz], axis=1)
     mv_s = jnp.stack([mvx, mvy, mvz], axis=1)
 
-    # ---- segment aggregates over MATCHING samples ----
+    # ---- compact to one row per touched cell; per-cell math runs on
+    # (cap,) rows only (M-row gathers/scatters serialize on TPU) ----
+    cap = int(min(S + 1, mcfg.update_cell_capacity))
+    comp = segments.compact_indices(segs, cap)
+    cell_c = segments.take_compact(comp, segs.cell, fill=S)
+    live_c = comp.valid & (cell_c < S)
+    cell_r = jnp.minimum(cell_c, S - 1)
+
+    # segment aggregates over MATCHING samples (masked rows all carry
+    # the sentinel cell and sort into the trailing dead segment)
     mw = m_s * w_s
-    agg = segments.seg_sum(
-        segs,
+    agg = segments.compact_sums(
+        comp,
         jnp.concatenate(
             [m_s[:, None], mw[:, None], mw[:, None] * tgt_s,
              mw[:, None] * mv_s],
             axis=1,
         ),
-    )  # (M, 8): k, sum_w, sum_wt(3), sum_wmv(3) — per-cell totals
+    )  # (cap, 8): k, sum_w, sum_wt(3), sum_wmv(3)
     k_m, sum_w_g, sum_wt_g, sum_wmv_g = (
         agg[:, 0], agg[:, 1], agg[:, 2:5], agg[:, 5:8]
     )
 
-    cell_rd = jnp.minimum(segs.cell, S - 1)
-    cur_f = jnp.take(mc.f, cell_rd, axis=0, indices_are_sorted=True)
-    cur_i = jnp.take(mc.i, cell_rd, axis=0, indices_are_sorted=True)
+    cur_f = jnp.take(mc.f, cell_r, axis=0)  # (cap, 9)
+    cur_i = jnp.take(mc.i, cell_r, axis=0)  # (cap, 3)
 
     kf = jnp.maximum(k_m, 1.0)
     mean_w = sum_w_g / kf
@@ -178,11 +185,14 @@ def apply_updates(
     # mutation order in mc_update, compute_updates.comp:48-52: sum_w and
     # w_tgt are written BEFORE w_cos reads mc_state_dir). This
     # bootstraps guiding: a fresh chain's first light-find gives cos = 1
-    # → mean cos ≈ 1 → a sharp vMF lobe at the light. The post-update
-    # values live on end rows; ONE sorted gather broadcasts them back.
-    post = segments.broadcast_from_end(
-        segs, jnp.concatenate([upd_w_tgt, upd_sum_w[:, None]], axis=1)
+    # → mean cos ≈ 1 → a sharp vMF lobe at the light. The per-row
+    # broadcast goes through a small (S, 4) scratch table: capacity-row
+    # scatter + fast small-table gather (never an M-row row-gather).
+    post_tab = segments.scatter_table(
+        comp, cell_c,
+        jnp.concatenate([upd_w_tgt, upd_sum_w[:, None]], axis=1), S + 1,
     )
+    post = jnp.take(post_tab, jnp.minimum(segs.cell, S), axis=0)  # (M, 4)
     pos_post = jnp.where(
         (post[:, 3] > 0.0)[..., None],
         post[:, 0:3] / jnp.where(post[:, 3] == 0.0, 1.0, post[:, 3])[..., None],
@@ -192,56 +202,62 @@ def apply_updates(
     cos_post = jnp.maximum(
         0.0, linalg.dot(linalg.normalize(tgt_s - pos_s), dir_post)
     )
-    sum_wc_g = segments.seg_sum(segs, mw * cos_post)
+    cos_post = jnp.where(mw > 0.0, cos_post, 0.0)
+    sum_wc_g = segments.compact_sums(comp, mw * cos_post)  # (cap,)
     mean_wc = sum_wc_g / kf
     upd_w_cos = jnp.minimum(
         cur_f[:, 4] + (mean_wc - cur_f[:, 4]) * alpha_eff, upd_sum_w
     )
 
-    # ---- winner state (valid at end rows) ----
-    winner_match = m_s > 0.5
+    # ---- winner row (the segment end) per touched cell ----
+    wf = segments.take_compact(
+        comp,
+        jnp.stack(
+            [w_s, m_s, tx, ty, tz, mvx, mvy, mvz, px, py, pz, nx, ny, nz],
+            axis=1,
+        ),
+    )  # (cap, 14)
+    win_id_s = segments.take_compact(comp, id_s)
+    w_c, m_c = wf[:, 0], wf[:, 1]
+    tgt_c, mv_c = wf[:, 2:5], wf[:, 5:8]
+    pos_c, norm_c = wf[:, 8:11], wf[:, 11:14]
+
+    winner_match = m_c > 0.5
     # matched winner → the post-EWA cell state; fresh winner → a new
     # chain from the sample (cos = 1 by construction, mcpg fresh path)
-    new_f = jnp.where(
+    win_f = jnp.where(
         winner_match[:, None],
         jnp.concatenate(
             [upd_w_tgt, upd_sum_w[:, None], upd_w_cos[:, None], mean_mv],
             axis=1,
         ),
         jnp.concatenate(
-            [w_s[:, None] * tgt_s, w_s[:, None], w_s[:, None], mv_s], axis=1
+            [w_c[:, None] * tgt_c, w_c[:, None], w_c[:, None], mv_c], axis=1
         ),
-    )  # (M, 8): w_tgt3, sum_w, w_cos, mv3
-    new_id = jnp.where(winner_match, cur_i[:, 0], id_s)
-    new_n = jnp.where(winner_match, n_new, 1)
+    )  # (cap, 8): w_tgt3, sum_w, w_cos, mv3
+    win_id = jnp.where(winner_match, cur_i[:, 0].astype(_U32), win_id_s)
+    win_n = jnp.where(winner_match, n_new, 1)
+    win_valid = live_c
 
-    # ---- compact winners to one row per touched cell ----
-    cap = int(min(S + 1, mcfg.update_cell_capacity))
-    packed = jnp.concatenate(
-        [
-            _f2i(new_f),  # 0:8
-            new_id[:, None],  # 8
-            new_n[:, None],  # 9
-            abuf_s[:, None], ahash_s[:, None],  # 10, 11
-            sbuf_s[:, None], shash_s[:, None],  # 12, 13
-            (v_s > 0.5).astype(jnp.int32)[:, None],  # 14 winner valid
-        ],
-        axis=1,
+    # save-site cells: stochastic level/jitter drawn per WINNER (the
+    # reference draws them in compute_updates.comp:98-121 — per winner,
+    # not per sample), so the hash math runs on cap rows, not M
+    rc = rng_ops.seed_pixel(
+        cell_r.astype(_U32), 3, uniforms.frame, rng_key
     )
-    wrow = segments.compact_ends(segs, packed, cap)  # (cap, 15) i32
-    win_f = _i2f(wrow[:, 0:8])
-    win_id = wrow[:, 8].astype(_U32)
-    win_n = wrow[:, 9]
-    win_valid = wrow[:, 14] > 0
+    rc, sbuf_c, shash_c = grids.static_cell(rc, pos_c, mcfg)
+    rc, abuf_c, ahash_c = grids.adaptive_cell(
+        rc, pos_c, norm_c, uniforms.cam_x, mcfg
+    )
 
     # ---- stochastic saves into BOTH grids (compute_updates.comp:98-121)
     def save(mc: MCStates, buf, site_hash, stream: int) -> MCStates:
-        old_f = jnp.take(mc.f, buf, axis=0)
-        old_i = jnp.take(mc.i, buf, axis=0)
-        old_id = old_i[:, 0].astype(_U32)
-        old_sum_w = old_f[:, 3]
+        buf = buf.astype(jnp.int32)
+        old = jnp.take(inc_tab, jnp.minimum(buf, S - 1), axis=0)
+        old_id = old[:, 0].astype(_U32)
+        old_sum_w = _i2f(old[:, 1])
         cell_rng = rng_ops.seed_pixel(
-            buf.astype(_U32), 3 + stream, uniforms.frame, rng_key
+            buf.astype(_U32), 4 + stream, uniforms.frame, rng_key
         )
         _, u_rep = rng_ops.uniform(cell_rng)
         new_sum_w = win_f[:, 3]
@@ -254,15 +270,16 @@ def apply_updates(
             [win_f, jnp.full((cap, 1), uniforms.cl_time, jnp.float32)], axis=1
         )
         i_rows = jnp.stack(
-            [win_id.astype(jnp.int32), win_n, site_hash], axis=1
+            [win_id.astype(jnp.int32), win_n, site_hash.astype(jnp.int32)],
+            axis=1,
         )
         return MCStates(
             f=mc.f.at[idx].set(f_rows, mode="drop"),
             i=mc.i.at[idx].set(i_rows, mode="drop"),
         )
 
-    mc = save(mc, wrow[:, 12], wrow[:, 13], 0)  # static grid
-    mc = save(mc, wrow[:, 10], wrow[:, 11], 1)  # adaptive grid
+    mc = save(mc, sbuf_c, shash_c, 0)  # static grid
+    mc = save(mc, abuf_c, ahash_c, 1)  # adaptive grid
 
     return MCPGState(
         mc=mc,

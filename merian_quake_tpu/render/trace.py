@@ -70,21 +70,23 @@ def _cubemap_sky(atlas: TextureAtlas, uniforms: Uniforms, w: jnp.ndarray):
         jnp.where(ay >= az, side_y, side_z),
     )
     safe = lambda a: jnp.maximum(a, 1e-4)
-    st_by_side = jnp.stack(
-        [
-            0.5 + 0.5 * jnp.stack([-y, -z], -1) / safe(ax)[..., None],
-            0.5 + 0.5 * jnp.stack([y, -z], -1) / safe(ax)[..., None],
-            0.5 + 0.5 * jnp.stack([x, -z], -1) / safe(ay)[..., None],
-            0.5 + 0.5 * jnp.stack([-x, -z], -1) / safe(ay)[..., None],
-            0.5 + 0.5 * jnp.stack([-y, x], -1) / safe(az)[..., None],
-            0.5 + 0.5 * jnp.stack([-y, -x], -1) / safe(az)[..., None],
-        ],
-        axis=0,
+    # select chains, not take_along_axis: an M-row gather serializes on
+    # TPU while 6 wheres fuse into the elementwise graph
+    su = jnp.where(
+        side <= 1, jnp.where(side == 0, -y, y),
+        jnp.where(side == 2, x, jnp.where(side == 3, -x, -y)),
     )
-    st = jnp.take_along_axis(
-        st_by_side, side[None, ..., None].astype(jnp.int32), axis=0
-    )[0]
-    texnum = jnp.take(uniforms.sky_cube, side)
+    sv = jnp.where(side == 4, x, jnp.where(side == 5, -x, -z))
+    den = safe(jnp.where(side <= 1, ax, jnp.where(side <= 3, ay, az)))
+    st = 0.5 + 0.5 * jnp.stack([su, sv], -1) / den[..., None]
+    sc = uniforms.sky_cube
+    texnum = jnp.where(
+        side <= 1, jnp.where(side == 0, sc[0], sc[1]),
+        jnp.where(
+            side <= 3, jnp.where(side == 2, sc[2], sc[3]),
+            jnp.where(side == 4, sc[4], sc[5]),
+        ),
+    )
     col = atlas_mod.sample_bilinear(atlas, jnp.maximum(texnum, 0), st)[..., :3]
     return jnp.where((texnum >= 0)[..., None], col, 0.0)
 

@@ -13,7 +13,6 @@ def test_sort_segments_structure(rng):
     cs = np.asarray(segs.cell)
     assert (np.diff(cs) >= 0).all()
     # sorted values follow their cell
-    order = np.argsort(cells, kind="stable")
     np.testing.assert_allclose(
         np.sort(np.asarray(v)[cs == 5]), np.sort(vals[cells == 5])
     )
@@ -23,16 +22,28 @@ def test_sort_segments_structure(rng):
     assert is_start[0] and is_end[-1]
     assert (is_start[1:] == (cs[1:] != cs[:-1])).all()
     assert (is_end[:-1] == (cs[:-1] != cs[1:])).all()
-    # start_idx/end_idx bracket each row's segment
-    si = np.asarray(segs.start_idx)
-    ei = np.asarray(segs.end_idx)
-    i = np.arange(m)
-    assert (si <= i).all() and (ei >= i).all()
-    assert (cs[si] == cs).all() and (cs[ei] == cs).all()
-    assert is_start[si].all() and is_end[ei].all()
 
 
-def test_tiebreak_winner_at_end(rng):
+def test_compact_indices_are_end_rows_in_cell_order(rng):
+    m, s = 2048, 23
+    cells = rng.integers(0, s, m).astype(np.int32)
+    segs, _ = segments.sort_segments(jnp.asarray(cells), [])
+    cap = 64
+    comp = segments.compact_indices(segs, cap)
+    idx = np.asarray(comp.idx)
+    valid = np.asarray(comp.valid)
+    uniq = np.unique(cells)
+    assert valid.sum() == len(uniq)
+    cs = np.asarray(segs.cell)
+    got_cells = cs[idx[valid]]
+    np.testing.assert_array_equal(got_cells, uniq)
+    assert np.asarray(segs.is_end)[idx[valid]].all()
+    # cell readback via take_compact
+    cc = segments.take_compact(comp, segs.cell, fill=s)
+    np.testing.assert_array_equal(np.asarray(cc)[valid], uniq)
+
+
+def test_tiebreak_winner_at_compact_rows(rng):
     m, s = 2048, 11
     cells = rng.integers(0, s, m).astype(np.int32)
     race = rng.random(m).astype(np.float32)
@@ -40,48 +51,61 @@ def test_tiebreak_winner_at_end(rng):
     segs, (p,) = segments.sort_segments(
         jnp.asarray(cells), [jnp.asarray(payload)], tiebreak=jnp.asarray(-race)
     )
-    p = np.asarray(p)
-    ei = np.asarray(segs.end_idx)
-    for c in range(s):
+    comp = segments.compact_indices(segs, s)
+    win = np.asarray(segments.take_compact(comp, p))
+    for k, c in enumerate(np.unique(cells)):
         want = payload[cells == c][np.argmin(race[cells == c])]
-        rows = np.asarray(segs.cell) == c
-        got = p[ei[rows][0]]
-        assert got == want, c
+        assert win[k] == want, c
 
 
-def test_seg_sum_matches_bincount(rng):
+def test_compact_sums_match_bincount(rng):
     m, s = 8192, 97
     cells = rng.integers(0, s, m).astype(np.int32)
     vals = rng.normal(size=(m, 3)).astype(np.float32)
     segs, cols = segments.sort_segments(
         jnp.asarray(cells), [jnp.asarray(vals[:, i]) for i in range(3)]
     )
-    tot = segments.seg_sum(segs, jnp.stack(cols, axis=1))
-    tot = np.asarray(tot)
-    cs = np.asarray(segs.cell)
-    for c in [0, 3, 50, 96]:
+    cap = 128
+    comp = segments.compact_indices(segs, cap)
+    tot = np.asarray(segments.compact_sums(comp, jnp.stack(cols, axis=1)))
+    for k, c in enumerate(np.unique(cells)):
         want = vals[cells == c].sum(axis=0)
-        got = tot[cs == c]
-        np.testing.assert_allclose(got, np.broadcast_to(want, got.shape), rtol=2e-4, atol=1e-4)
+        np.testing.assert_allclose(tot[k], want, rtol=2e-4, atol=1e-4)
 
 
-def test_broadcast_and_compact(rng):
+def test_compact_capacity_drops_overflow(rng):
+    m, s = 1024, 50
+    cells = rng.integers(0, s, m).astype(np.int32)
+    segs, _ = segments.sort_segments(jnp.asarray(cells), [])
+    cap = 8
+    comp = segments.compact_indices(segs, cap)
+    assert comp.idx.shape == (cap,)
+    # the kept segments are the cap smallest cells
+    cc = np.asarray(segments.take_compact(comp, segs.cell, fill=s))
+    np.testing.assert_array_equal(cc, np.unique(cells)[:cap])
+    # sums only over kept segments, in order
+    vals = np.ones(m, np.float32)
+    segs2, (v,) = segments.sort_segments(jnp.asarray(cells), [jnp.asarray(vals)])
+    tot = np.asarray(segments.compact_sums(comp, v))
+    for k, c in enumerate(np.unique(cells)[:cap]):
+        assert tot[k] == (cells == c).sum()
+
+
+def test_scatter_table_roundtrip(rng):
     m, s = 1024, 19
     cells = rng.integers(0, s, m).astype(np.int32)
     vals = rng.normal(size=m).astype(np.float32)
     segs, (v,) = segments.sort_segments(jnp.asarray(cells), [jnp.asarray(vals)])
-    bc = segments.broadcast_from_end(segs, v)
-    v = np.asarray(v)
-    np.testing.assert_allclose(np.asarray(bc), v[np.asarray(segs.end_idx)])
-    cap = 32
-    packed = segments.compact_ends(segs, jnp.stack([v, v * 2], axis=1), cap)
-    packed = np.asarray(packed)
+    comp = segments.compact_indices(segs, s + 1)
+    cell_c = segments.take_compact(comp, segs.cell, fill=s)
+    ends = segments.take_compact(comp, v)
+    tab = segments.scatter_table(comp, cell_c, ends[:, None], s + 1)
+    # per-row broadcast: every row reads its segment's end value
+    back = np.asarray(jnp.take(tab[:, 0], segs.cell))
     cs = np.asarray(segs.cell)
-    uniq = np.unique(cs)
-    for k, c in enumerate(uniq):
-        last = v[cs == c][-1]
-        np.testing.assert_allclose(packed[k], [last, 2 * last], rtol=1e-6)
-    assert (packed[len(uniq):] == 0).all()
+    v = np.asarray(v)
+    for c in np.unique(cells):
+        np.testing.assert_allclose(back[cs == c], v[cs == c][-1])
 
 
 def test_sentinel_rows_sort_last(rng):
@@ -93,3 +117,14 @@ def test_sentinel_rows_sort_last(rng):
     cs = np.asarray(segs.cell)
     assert (cs[: mask.sum()] < s).all()
     assert (cs[mask.sum():] == s).all()
+
+
+def test_padded_capacity_beyond_m(rng):
+    m, s = 64, 7
+    cells = rng.integers(0, s, m).astype(np.int32)
+    segs, _ = segments.sort_segments(jnp.asarray(cells), [])
+    comp = segments.compact_indices(segs, 256)
+    assert comp.idx.shape == (256,)
+    assert np.asarray(comp.valid).sum() == len(np.unique(cells))
+    x = segments.take_compact(comp, segs.cell.astype(jnp.float32), fill=-1.0)
+    assert (np.asarray(x)[len(np.unique(cells)):] == -1.0).all()
