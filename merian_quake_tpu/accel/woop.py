@@ -13,19 +13,18 @@ per-ray Vulkan ray-query BVH walk, raytrace.glsl:69-119):
 1. XLA-side, each ray block gets a conservative entry parameter
    t_enter[block, cluster] from an interval-slab test of the block's
    origin/direction bounding boxes against the cluster AABB
-   (packet-frustum culling; +inf = unreachable).
-2. Clusters are visited in a near-to-far GLOBAL order (distance from
-   the batch's mean ray origin — exact for primary rays, approximate
-   for Morton/octant-sorted bounce blocks), streamed via a
-   scalar-prefetch index map.
-3. The kernel keeps a per-block horizon t̂ = max_r min(best_t_r,
-   t_max_r) in SMEM and SKIPS every tile with t_enter > t̂ — skipped
-   grid steps cost ~1 ns (measured), so early termination after the
-   front-most occluders makes the sweep output-sensitive, like a BVH
-   walk, without divergent per-ray stacks.
+   (packet-frustum culling; +inf = unreachable), then sorts ITS OWN
+   near-to-far visit order (te ascending).
+2. One pallas grid step per RAY BLOCK: the cluster loop runs inside
+   the kernel as a while_loop that streams each cluster's w rows
+   HBM→VMEM with double-buffered async copies and TERMINATES at the
+   first cluster whose t_enter exceeds the block's horizon
+   t̂ = max_r min(best_t_r, t_max_r) — te is ascending and t̂ only
+   shrinks, so every later cluster is farther: an exact early-out,
+   like a BVH walk without divergent per-ray stacks.
 
 The epilogue is division-free (hit tests on dz-premultiplied
-barycentrics); winner u/v are NOT tracked per tile — they are
+barycentrics); winner u/v are NOT tracked per tile — exact t/u/v are
 recomputed once per ray from the winning triangle's vertices, O(rays)
 instead of O(ray×cluster pairs).
 """
@@ -92,34 +91,106 @@ def bake_candidacy(w: np.ndarray, cand: np.ndarray) -> np.ndarray:
     return np.where(mask[:, None], w, 0.0).astype(np.float32)
 
 
-def _kernel(order_ref, rays_ref, te_ref, w_ref, out_ref, idx_ref, that_ref):
-    j = pl.program_id(1)
+def _kernel_stream(
+    order_ref, te_ref, rays_ref, w_hbm, out_ref, idx_ref, wbuf, sems
+):
+    """Per-ray-block streaming sweep (one grid step per ray block).
 
-    @pl.when(j == 0)
-    def _():
-        out_ref[0, :] = jnp.full_like(out_ref[0, :], BIG)
-        idx_ref[0, :] = jnp.full_like(idx_ref[0, :], -1)
-        that_ref[0] = jnp.max(rays_ref[7, :])  # horizon = max t_max
+    The cluster loop runs INSIDE the kernel: clusters are visited in
+    this block's own near-to-far order (te ascending, precomputed
+    XLA-side), each tile's w rows are streamed HBM→VMEM with a
+    double-buffered async copy, and the loop goes dead at the first
+    cluster whose conservative entry parameter exceeds the block's
+    horizon t̂ = max_r min(best_t_r, t_max_r) — every later cluster is
+    farther still, so this is an EXACT early-out, like a BVH walk
+    without divergent per-ray stacks. Dead iterations cost a few ns of
+    scalar loop; there is no per-cluster pallas grid overhead at all.
+    """
+    out_ref[0, :] = jnp.full_like(out_ref[0, :], BIG)
+    idx_ref[0, :] = jnp.full_like(idx_ref[0, :], -1)
+    t_max = rays_ref[7, :]
+    horizon0 = jnp.max(t_max)
 
-    # te_ref block is this ray block's full (1, 1, nc_pad) entry row
-    # (resident across the j sweep — the index map is constant in j);
-    # lane j is extracted with an iota mask: dynamic lane indexing has
-    # no TPU lowering, a masked reduce is one VPU pass over ~2 vregs.
-    te_row = te_ref[0]  # (1, nc_pad)
+    te_row = te_ref[0]  # (1, nc_pad) ascending (+inf padded)
+    order_row = order_ref[0]  # (1, nc_pad) i32 cluster ids
     lane = jax.lax.broadcasted_iota(jnp.int32, te_row.shape, 1)
-    te = jnp.min(jnp.where(lane == j, te_row, jnp.float32(np.inf)))
 
-    @pl.when(te <= that_ref[0])
+    # dynamic lane indexing has no TPU lowering; a masked reduce is one
+    # VPU pass over ~2 vregs
+    def te_at(j):
+        return jnp.min(jnp.where(lane == j, te_row, jnp.float32(np.inf)))
+
+    def cid_at(j):
+        return jnp.max(jnp.where(lane == j, order_row, 0))
+
+    # w is streamed TRANSPOSED, (8, 3T): the cluster slice cuts the
+    # LANE dimension in 3C-wide chunks (3C = 384/192 — multiples of
+    # the 128 tiling), which is the alignment manual DMAs require
+    # (a (3C, 8) slice has an 8-wide minor dim and Mosaic rejects it)
+    c3 = wbuf.shape[-1]
+
+    def start_copy(j, slot: int):
+        pltpu.make_async_copy(
+            w_hbm.at[:, pl.ds(cid_at(j) * c3, c3)],
+            wbuf.at[slot],
+            sems.at[slot],
+        ).start()
+
+    def wait_copy(slot: int):
+        pltpu.make_async_copy(
+            w_hbm.at[:, pl.ds(0, c3)], wbuf.at[slot], sems.at[slot]
+        ).wait()
+
+    nc = te_ref.shape[-1]
+    live0 = te_at(0) <= horizon0
+
+    @pl.when(live0)
     def _():
-        _intersect_tile(rays_ref, w_ref, out_ref, idx_ref, order_ref[j])
-        that_ref[0] = jnp.max(
-            jnp.minimum(out_ref[0, :], rays_ref[7, :])
-        )
+        start_copy(0, 0)
+
+    # while_loop, not fori: the loop TERMINATES at the first beyond-
+    # horizon cluster instead of running dead iterations (a fori over
+    # nc_pad spends ~40% of the sweep on scalar overhead of dead steps).
+    # Slot indices are kept STATIC (two branches per site): dynamic
+    # leading-dim indexing of VMEM scratch / semaphore arrays crashes
+    # the Mosaic compiler.
+    def cond(carry):
+        j, horizon, live = carry
+        return live
+
+    def body(carry):
+        j, horizon, live = carry
+        odd = jax.lax.rem(j, 2) == 1
+
+        for slot in (0, 1):
+            @pl.when(odd == (slot == 1))
+            def _(slot=slot):
+                wait_copy(slot)
+                _intersect_tile(
+                    rays_ref, wbuf[slot], out_ref, idx_ref, cid_at(j)
+                )
+
+        horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
+        # prefetch invariant: the NEXT iteration waits iff next_live,
+        # and a copy was started iff next_live — always matched, no
+        # drain needed (once live drops it never comes back: te is
+        # ascending and the horizon only shrinks)
+        next_live = (j + 1 < nc) & (te_at(j + 1) <= horizon2)
+
+        for slot in (0, 1):
+            @pl.when(next_live & (odd == (slot == 0)))
+            def _(slot=slot):
+                start_copy(j + 1, slot)
+
+        return j + 1, horizon2, next_live
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), horizon0, live0))
 
 
-def _intersect_tile(rays_ref, w_ref, out_ref, idx_ref, cluster_id):
+def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id):
     rays = rays_ref[:]  # (8, B)
-    w = w_ref[:]  # (3C, 8) row blocks [row0s; row1s; row2s], cols 0-3
+    # w: (8, 3C) TRANSPOSED row blocks [row0s | row1s | row2s] along
+    # lanes, rows 0-3 used
     t_min, t_max = rays[6:7], rays[7:8]  # (1, B)
 
     B = rays.shape[1]
@@ -133,12 +204,12 @@ def _intersect_tile(rays_ref, w_ref, out_ref, idx_ref, cluster_id):
     # columns are zero, so they do not contribute.
     rhs = jnp.concatenate([o_aug, d_aug], axis=1)  # (8, 2B)
 
-    # ONE matmul per tile: (3C, 8) @ (8, 2B) → (3C, 2B) on the MXU
+    # ONE matmul per tile: (8, 3C)ᵀ @ (8, 2B) → (3C, 2B) on the MXU
     big = jax.lax.dot_general(
-        w, rhs, dimension_numbers=(((1,), (0,)), ((), ())),
+        w, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    C = w.shape[0] // 3
+    C = w.shape[1] // 3
     u0 = big[0:C, 0:B]
     v0 = big[C : 2 * C, 0:B]
     z0 = big[2 * C : 3 * C, 0:B]
@@ -165,6 +236,9 @@ def _intersect_tile(rays_ref, w_ref, out_ref, idx_ref, cluster_id):
 
     best_t = jnp.min(t_m, axis=0)
     arg = jnp.argmin(t_m, axis=0)
+    # (a packed i32 min-reduce with the row index in t's low mantissa
+    # bits was tried and measured SLOWER than min+argmin — the extra
+    # bitcast/mask passes over the (C, B) tile outweigh the saving)
 
     better = best_t < out_ref[0, :]
     out_ref[0, :] = jnp.where(better, best_t, out_ref[0, :])
@@ -243,57 +317,58 @@ def intersect_woop_packed(
     nb, nc = n // ray_block, t // chunk
     te = _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block)
 
-    # global near-to-far cluster order: distance from the batch's mean
-    # ray origin to the cluster box (clamped-point distance)
-    o_mean = jnp.mean(rays[0:3], axis=1)
-    p = jnp.clip(o_mean[None, :], cluster_lo, cluster_hi)
-    dist = jnp.sum(jnp.square(p - o_mean[None, :]), axis=-1)
-    order = jnp.argsort(dist).astype(jnp.int32)  # (nc,)
-    te = jnp.take(te, order, axis=1)  # columns in visit order
+    # PER-BLOCK near-to-far visit order: sort each block's te row
+    # ascending, carrying the cluster id. The kernel walks this order
+    # and exits at the first te beyond its horizon (exact early-out).
+    iota = jnp.broadcast_to(
+        jnp.arange(nc, dtype=jnp.int32)[None, :], te.shape
+    )
+    te_s, order = jax.lax.sort([te, iota], num_keys=1, dimension=1)
     nc_pad = ((nc + 127) // 128) * 128
-    te = jnp.pad(te, ((0, 0), (0, nc_pad - nc)), constant_values=np.inf)
+    te_s = jnp.pad(
+        te_s, ((0, 0), (0, nc_pad - nc)), constant_values=np.inf
+    )
+    order = jnp.pad(order, ((0, 0), (0, nc_pad - nc)))
     # (nb, 1, nc_pad): trailing block dims equal the array dims, which
     # satisfies the TPU (8, 128) block-divisibility rule for any nb
-    te = te[:, None, :]
+    te_s = te_s[:, None, :]
+    order = order[:, None, :]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nb, nc),
+    out, idx = pl.pallas_call(
+        _kernel_stream,
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec(
-                (8, ray_block), lambda i, j, o: (0, i),
+                (1, 1, nc_pad), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, nc_pad), lambda i, j, o: (i, 0, 0),
+                (1, 1, nc_pad), lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (3 * chunk, 8), lambda i, j, o: (o[j], 0),
-                memory_space=pltpu.VMEM,
+                (8, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(memory_space=pl.ANY),  # w stays in HBM
         ],
         out_specs=[
             pl.BlockSpec(
-                (1, ray_block), lambda i, j, o: (0, i),
-                memory_space=pltpu.VMEM,
+                (1, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, ray_block), lambda i, j, o: (0, i),
-                memory_space=pltpu.VMEM,
+                (1, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
             ),
         ],
-        scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
-    )
-    out, idx = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, 3 * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(order, rays, te, w)
+    )(order, te_s, rays, w.T)
     return out, idx
 
 
@@ -321,15 +396,21 @@ def _sort_keys(accel, o, d):
     return (octant << jnp.uint32(24)) | (morton & jnp.uint32(0xFFFFFF))
 
 
-def _recompute_uv(accel, o, d, t, tri):
-    """Barycentric (u, v) at the committed hit, from the winning
-    triangle's vertices — O(rays) instead of tracking per-tile winners
-    through the sweep (saves ~6 VPU passes per visited tile)."""
+def _recompute_tuv(accel, o, d, t_approx, tri):
+    """Exact (t, u, v) at the committed hit, from the winning triangle's
+    vertices — O(rays) instead of tracking per-tile winners through the
+    sweep (the kernel's t carries the winner row in its low mantissa
+    bits, so it is ≤2^-16-relative coarse; this replaces it exactly)."""
     vattr = jnp.take(accel.tri_attr[:, 0:9], jnp.maximum(tri, 0), axis=0)
     v0, v1, v2 = vattr[:, 0:3], vattr[:, 3:6], vattr[:, 6:9]
-    p = o + t[:, None] * d
     e1 = v1 - v0
     e2 = v2 - v0
+    nrm = jnp.cross(e1, e2)
+    dn = jnp.sum(d * nrm, axis=-1)
+    t = jnp.sum((v0 - o) * nrm, axis=-1) / jnp.where(
+        jnp.abs(dn) > 1e-20, dn, 1.0
+    )
+    p = o + t[:, None] * d
     q = p - v0
     d00 = jnp.sum(e1 * e1, axis=-1)
     d01 = jnp.sum(e1 * e2, axis=-1)
@@ -341,7 +422,11 @@ def _recompute_uv(accel, o, d, t, tri):
     u = (d11 * d20 - d01 * d21) * inv
     v = (d00 * d21 - d01 * d20) * inv
     hit = tri >= 0
-    return jnp.where(hit, u, 0.0), jnp.where(hit, v, 0.0)
+    return (
+        jnp.where(hit, t, t_approx),
+        jnp.where(hit, u, 0.0),
+        jnp.where(hit, v, 0.0),
+    )
 
 
 def intersect_woop(
@@ -413,5 +498,5 @@ def intersect_woop(
         ray_block=ray_block, interpret=interpret,
     )
     t, tri = out[0, :n], idx[0, :n]
-    u, v = _recompute_uv(accel, o, d, t, tri)
+    t, u, v = _recompute_tuv(accel, o, d, t, tri)
     return HitRecord(t=t, tri=tri, u=u, v=v)

@@ -103,10 +103,15 @@ def pack_textures(
         cur = cur[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2, 4).mean((1, 3))
         mips.append(jnp.asarray(cur, dtype))
 
+    flat = np.concatenate(
+        [np.asarray(data).reshape(-1, 4)]
+        + [np.asarray(m).reshape(-1, 4) for m in mips]
+    )
     return TextureAtlas(
         data=jnp.asarray(data, dtype),
         table=jnp.asarray(table),
         mips=tuple(mips),
+        flat=jnp.asarray(flat, dtype),
     )
 
 
@@ -162,36 +167,43 @@ def sample_bilinear(atlas: TextureAtlas, texnum, uv):
     return top * (1 - ay) + bot * ay
 
 
-def _sample_level(atlas: TextureAtlas, level: int, texnum, uv):
-    """Nearest sample at a given mip level (rect scaled by >> level)."""
-    if level == 0:
-        return sample_nearest(atlas, texnum, uv)
-    data = atlas.mips[level - 1]
-    rect = jnp.take(
-        atlas.table, jnp.clip(texnum, 0, atlas.table.shape[0] - 1), axis=0
-    ) >> level
-    x, y, w, h = rect[..., 0], rect[..., 1], rect[..., 2], rect[..., 3]
-    w = jnp.maximum(w, 1)
-    h = jnp.maximum(h, 1)
-    u = uv[..., 0] - jnp.floor(uv[..., 0])
-    v = uv[..., 1] - jnp.floor(uv[..., 1])
-    tx = x + jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
-    ty = y + jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    flat = data.reshape(-1, 4)
-    return jnp.take(flat, ty * data.shape[1] + tx, axis=0).astype(jnp.float32)
-
-
 def sample_mip(atlas: TextureAtlas, texnum, uv, lod):
     """Nearest-mip sampling by per-ray level-of-detail (≈ textureGrad
-    at the first hit, raytrace.glsl:232-245 — ray-cone flavored)."""
+    at the first hit, raytrace.glsl:232-245 — ray-cone flavored).
+
+    ONE gather from the concatenated flat mip chain: per-level offsets
+    and strides are STATIC (from the level shapes), selected per ray
+    with a cheap where-chain — the old per-level sampling loop paid one
+    multi-million-row gather per level.
+    """
     levels = atlas.num_levels
-    if levels == 1:
+    if levels == 1 or atlas.flat is None:
         return sample_nearest(atlas, texnum, uv)
     li = jnp.clip(jnp.round(lod).astype(jnp.int32), 0, levels - 1)
-    out = _sample_level(atlas, 0, texnum, uv)
-    for l in range(1, levels):
-        out = jnp.where((li == l)[..., None], _sample_level(atlas, l, texnum, uv), out)
-    return out
+    rect = jnp.take(
+        atlas.table, jnp.clip(texnum, 0, atlas.table.shape[0] - 1), axis=0
+    )
+    # per-lane level shift of the rect (vector shift amounts are fine)
+    x = rect[..., 0] >> li
+    y = rect[..., 1] >> li
+    w = jnp.maximum(rect[..., 2] >> li, 1)
+    h = jnp.maximum(rect[..., 3] >> li, 1)
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    tx = x + jnp.clip((u * w.astype(jnp.float32)).astype(jnp.int32), 0, w - 1)
+    ty = y + jnp.clip((v * h.astype(jnp.float32)).astype(jnp.int32), 0, h - 1)
+
+    shapes = [atlas.data.shape] + [m.shape for m in atlas.mips]
+    off = 0
+    off_l = jnp.zeros_like(li)
+    stride_l = jnp.full_like(li, shapes[0][1])
+    for l, s in enumerate(shapes):
+        if l > 0:
+            off_l = jnp.where(li == l, off, off_l)
+            stride_l = jnp.where(li == l, s[1], stride_l)
+        off += s[0] * s[1]
+    idx = off_l + ty * stride_l + tx
+    return jnp.take(atlas.flat, idx, axis=0).astype(jnp.float32)
 
 
 def sample(atlas: TextureAtlas, texnum, uv, bilinear: bool = True):

@@ -37,6 +37,10 @@ class TextureAtlas(NamedTuple):
     data: jnp.ndarray
     table: jnp.ndarray
     mips: tuple = ()
+    # all levels' texels concatenated row-major, (sum_l H_l*W_l, 4) —
+    # lets mip sampling be ONE gather (per-level offsets/strides are
+    # static, derived from the shapes; see atlas.sample_mip)
+    flat: jnp.ndarray | None = None
 
     @property
     def width(self) -> int:

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ...ops import hashgrid, linalg, rng as rng_ops, vmf
@@ -149,6 +150,33 @@ def gather_state(mc: MCStates, idx) -> StateSample:
     idx = idx.astype(jnp.int32)
     gf = jnp.take(mc.f, idx, axis=0)
     gi = jnp.take(mc.i, idx, axis=0)
+    return StateSample(
+        id=gi[..., 0].astype(jnp.uint32),
+        w_tgt=gf[..., 0:3],
+        sum_w=gf[..., 3],
+        w_cos=gf[..., 4],
+        mv=gf[..., 5:8],
+        T=gf[..., 8],
+        N=gi[..., 1],
+        hash=gi[..., 2].astype(jnp.uint32),
+    )
+
+
+def pack_states(mc: MCStates) -> jnp.ndarray:
+    """One (S, 12) i32 view of the state table so repeated guide draws
+    pay ONE gather each instead of two (f32 lanes ride bit-cast in i32
+    lanes, which never canonicalize; the reverse view only re-exposes
+    genuine f32 values, so denormal flushing is a no-op in practice)."""
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(mc.f, jnp.int32), mc.i], axis=1
+    )
+
+
+def gather_state_packed(packed: jnp.ndarray, idx) -> StateSample:
+    """gather_state against a pack_states table — single gather."""
+    g = jnp.take(packed, idx.astype(jnp.int32), axis=0)
+    gf = jax.lax.bitcast_convert_type(g[..., 0:9], jnp.float32)
+    gi = g[..., 9:12]
     return StateSample(
         id=gi[..., 0].astype(jnp.uint32),
         w_tgt=gf[..., 0:3],

@@ -96,6 +96,9 @@ def render_mcpg_surface(
 
     pxi, pyi = layout.gen_pixels(W, rows, y0=y0)
     state0 = rng_ops.seed_pixel(pxi, pyi, uniforms.frame, config.seed)
+    # one (S, 12) packed table: each of the K×segments×spp guide draws
+    # pays a single gather instead of two
+    mc_packed = grids.pack_states(mc)
 
     first_hit = decompress_hit(gbuf.hits)
     pixel_live = (first_hit.albedo >= 1e-7).any(axis=-1)
@@ -129,7 +132,7 @@ def render_mcpg_surface(
                     rng_state, lookup_pos, mcfg
                 )
                 buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
-                st = grids.gather_state(mc, buf)
+                st = grids.gather_state_packed(mc_packed, buf)
                 st_a = grids.finalize_load(st, ahash, uniforms.cl_time)
                 st_s = grids.finalize_load(
                     st,

@@ -198,3 +198,36 @@ def test_scene_features_alpha_flag_and_no_alpha_fast_path():
     fast = trace_nearest(acc, None, o, d, 0.0, materials.T_MAX)
     np.testing.assert_array_equal(np.asarray(slow.tri), np.asarray(fast.tri))
     np.testing.assert_allclose(np.asarray(slow.t), np.asarray(fast.t))
+
+
+def test_woop_kernel_matches_oracle_including_misses(rng):
+    """Interpret-mode Woop kernel vs the XLA oracle on a random soup,
+    with rays that hit nothing (regression: an all-miss tile once
+    committed a false hit through the packed-min epilogue)."""
+    from merian_quake_tpu.accel.woop import intersect_woop
+
+    t = 256
+    c = rng.uniform(-40, 40, (t, 1, 3))
+    tri = c + rng.uniform(-8, 8, (t, 3, 3))
+    scene = build_scene_from_soup(
+        tri[:, 0].astype(np.float32),
+        tri[:, 1].astype(np.float32),
+        tri[:, 2].astype(np.float32),
+    )
+    acc = build_accel(scene)
+    n = 512
+    o = jnp.asarray(rng.uniform(-60, 60, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # half the rays point far away from the scene: guaranteed misses
+    o = o.at[: n // 2].set(jnp.asarray([500.0, 500.0, 500.0]))
+    d[: n // 2] = np.abs(d[: n // 2])  # away from the origin-centered soup
+    d = jnp.asarray(d)
+    hw = intersect_woop(acc, o, d, 0.0, 1e4, ray_block=256, interpret=True)
+    ho = intersect(acc, o, d, 0.0, 1e4)
+    np.testing.assert_array_equal(np.asarray(hw.tri), np.asarray(ho.tri))
+    hit = np.asarray(ho.tri) >= 0
+    assert (~hit[: n // 2]).any()  # the scenario really exercises misses
+    np.testing.assert_allclose(
+        np.asarray(hw.t)[hit], np.asarray(ho.t)[hit], rtol=1e-4, atol=1e-3
+    )
