@@ -31,6 +31,7 @@ instead of O(ray×cluster pairs).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -316,6 +317,10 @@ def intersect_woop_packed(
     t = w.shape[0] // 3
     nb, nc = n // ray_block, t // chunk
     te = _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block)
+    if os.environ.get("MQ_WOOP_NOCULL"):
+        # perf-anatomy knob: defeat culling so the sweep visits exactly
+        # nb*nc tiles (gives an exact per-visit cost measurement)
+        te = jnp.zeros_like(te)
 
     # PER-BLOCK near-to-far visit order: sort each block's te row
     # ascending, carrying the cluster id. The kernel walks this order

@@ -90,37 +90,61 @@ def render_mcpg_surface(
     rows = H if rows is None else rows
     n = W * rows
     K = mcfg.mc_samples
+    spp = max(config.spp, 1)
     cam_x = uniforms.cam_x
     mc = mstate.mc
     lc = mstate.lc
 
+    # ALL spp samples ride in ONE ray population (ns = spp·n): the
+    # samples of a pixel retrace nearly the same region, so merged
+    # sorted blocks are ~2x denser and the packet sweep visits ~half
+    # the clusters per ray. RNG streams are seeded per (sample, pixel)
+    # instead of chaining samples sequentially — distribution-
+    # equivalent (see module RNG note).
     pxi, pyi = layout.gen_pixels(W, rows, y0=y0)
-    state0 = rng_ops.seed_pixel(pxi, pyi, uniforms.frame, config.seed)
-    # one (S, 12) packed table: each of the K×segments×spp guide draws
-    # pays a single gather instead of two
+    ns = n * spp
+    tile = (
+        (lambda x: jnp.concatenate([x] * spp, axis=0))
+        if spp > 1
+        else (lambda x: x)
+    )
+    samp = jnp.repeat(jnp.arange(spp, dtype=jnp.uint32), n)
+    state0 = rng_ops.seed_pixel(
+        tile(pxi),
+        tile(pyi),
+        uniforms.frame,
+        jnp.uint32(config.seed) ^ (samp * jnp.uint32(0x9E3779B9)),
+    )
+    first_spp = samp == 0
+    # one (S, 12) packed table: each of the K×segments guide draws pays
+    # a single gather instead of two
     mc_packed = grids.pack_states(mc)
 
-    first_hit = decompress_hit(gbuf.hits)
+    first_hit = jax.tree.map(tile, decompress_hit(gbuf.hits))
     pixel_live = (first_hit.albedo >= 1e-7).any(axis=-1)
 
-    def one_sample(rng_state, is_first_spp: bool):
+    def one_sample(rng_state):
         cur = first_hit
-        throughput = jnp.ones((n, 3))
-        f = jnp.zeros((n, 3))
-        p = jnp.ones((n,))
+        throughput = jnp.ones((ns, 3))
+        f = jnp.zeros((ns, 3))
+        p = jnp.ones((ns,))
         done = ~pixel_live
 
         def segment(carry, seg_idx):
             rng_state, cur, throughput, f, p, done = carry
 
-            lookup_pos = cur.prev_pos if is_first_spp else cur.pos
+            # sample 0 looks up at the previous-frame position (better
+            # temporal stability), later samples at the current one
+            lookup_pos = jnp.where(
+                first_spp[:, None], cur.prev_pos, cur.pos
+            )
             lookup_level = grids.adaptive_target_level(lookup_pos, cam_x, mcfg)
 
             # ---- draw K guide states, reservoir-select by sum_w ----
-            score_sum = jnp.zeros((n,))
+            score_sum = jnp.zeros((ns,))
             mus, kappas, scores = [], [], []
             rng_state, win = grids.new_state(rng_state)
-            win_buf = jnp.full((n,), -1, jnp.int32)
+            win_buf = jnp.full((ns,), -1, jnp.int32)
             for _ in range(K):
                 rng_state, u_grid = rng_ops.uniform(rng_state)
                 adaptive = u_grid < mcfg.mc_samples_adaptive_prob
@@ -174,7 +198,7 @@ def render_mcpg_surface(
             active = ~done & ~below
 
             # ---- MIS pdf (mcpg.comp:127-136) ----
-            guided_p = jnp.zeros((n,))
+            guided_p = jnp.zeros((ns,))
             for mu_i, kap_i, sc_i in zip(mus, kappas, scores):
                 guided_p = guided_p + sc_i * vmf.pdf(wo, mu_i, kap_i)
             guided_p = jnp.where(
@@ -287,27 +311,18 @@ def render_mcpg_surface(
         lum = color_ops.yuv_luminance(contrib)
         return rng_state, contrib, lum * lum, ys
 
-    irr = jnp.zeros((n, 3))
-    m2 = jnp.zeros((n,))
-    all_ys = []
-    rng_state = state0
-    for s in range(config.spp):
-        rng_state, contrib, l2, ys = one_sample(rng_state, s == 0)
-        irr = irr + contrib
-        m2 = m2 + l2
-        all_ys.append(ys)
+    rng_state, contrib, l2, ys = one_sample(state0)
     if config.spp > 0:
-        irr = irr / config.spp
-        m2 = m2 / config.spp
+        irr = contrib.reshape(spp, n, 3).mean(axis=0)
+        m2 = l2.reshape(spp, n).mean(axis=0)
+    else:
+        irr = jnp.zeros((n, 3))
+        m2 = jnp.zeros((n,))
 
-    # flatten (spp, segs, N) queues → (M,)
+    # flatten (segs, ns) queues → (M,)
     def _cat(getter):
-        parts = [getter(ys) for ys in all_ys]
         return jax.tree.map(
-            lambda *xs: jnp.concatenate(
-                [x.reshape((-1,) + x.shape[2:]) for x in xs]
-            ),
-            *parts,
+            lambda x: x.reshape((-1,) + x.shape[2:]), getter(ys)
         )
 
     lcq = _cat(lambda ys: ys[0])
