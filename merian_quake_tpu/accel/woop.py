@@ -16,12 +16,15 @@ per-ray Vulkan ray-query BVH walk, raytrace.glsl:69-119):
    (packet-frustum culling; +inf = unreachable), then sorts ITS OWN
    near-to-far visit order (te ascending).
 2. One pallas grid step per RAY BLOCK: the cluster loop runs inside
-   the kernel as a while_loop that streams each cluster's w rows
-   HBM→VMEM with double-buffered async copies and TERMINATES at the
-   first cluster whose t_enter exceeds the block's horizon
+   the kernel as a while_loop that TERMINATES at the first cluster
+   whose t_enter exceeds the block's horizon
    t̂ = max_r min(best_t_r, t_max_r) — te is ascending and t̂ only
    shrinks, so every later cluster is farther: an exact early-out,
-   like a BVH walk without divergent per-ray stacks.
+   like a BVH walk without divergent per-ray stacks. Small scenes
+   (≤ RESIDENT_MAX_TRIS) keep the whole table VMEM-resident; larger
+   ones stream each cluster's w rows HBM→VMEM through a 4-slot
+   prefetch pipeline (a single copy in flight leaves the sweep DMA-
+   latency-bound at ~4 µs/visit — measured, compute fully hidden).
 
 The epilogue is division-free (hit tests on dz-premultiplied
 barycentrics); winner u/v are NOT tracked per tile — exact t/u/v are
@@ -43,6 +46,11 @@ from ..models.types import CLUSTER_SIZE
 
 BIG = 3e38
 _INF = jnp.float32(np.inf)
+
+# largest triangle count whose packed Woop table (96 B/tri) is kept
+# fully VMEM-resident during the sweep (~6 MB of the ~16 MB VMEM);
+# larger scenes stream clusters HBM→VMEM with double buffering
+RESIDENT_MAX_TRIS = 65536
 
 
 def build_woop(v0, v1, v2, candidate) -> tuple[np.ndarray, np.ndarray]:
@@ -99,13 +107,12 @@ def _kernel_stream(
 
     The cluster loop runs INSIDE the kernel: clusters are visited in
     this block's own near-to-far order (te ascending, precomputed
-    XLA-side), each tile's w rows are streamed HBM→VMEM with a
-    double-buffered async copy, and the loop goes dead at the first
-    cluster whose conservative entry parameter exceeds the block's
-    horizon t̂ = max_r min(best_t_r, t_max_r) — every later cluster is
-    farther still, so this is an EXACT early-out, like a BVH walk
-    without divergent per-ray stacks. Dead iterations cost a few ns of
-    scalar loop; there is no per-cluster pallas grid overhead at all.
+    XLA-side), each tile's w rows are streamed HBM→VMEM through a
+    4-slot / depth-3 prefetch pipeline, and the loop goes dead at the
+    first cluster whose conservative entry parameter exceeds the
+    block's horizon t̂ = max_r min(best_t_r, t_max_r) — every later
+    cluster is farther still, so this is an EXACT early-out, like a
+    BVH walk without divergent per-ray stacks.
     """
     out_ref[0, :] = jnp.full_like(out_ref[0, :], BIG)
     idx_ref[0, :] = jnp.full_like(idx_ref[0, :], -1)
@@ -143,28 +150,45 @@ def _kernel_stream(
         ).wait()
 
     nc = te_ref.shape[-1]
-    live0 = te_at(0) <= horizon0
+    ns = wbuf.shape[0]  # slots
+    depth = ns - 1  # copies kept in flight ahead of the compute
 
-    @pl.when(live0)
-    def _():
-        start_copy(0, 0)
+    # ---- prologue: issue the first `depth` copies (te ascending, so
+    # the issued set is always a PREFIX 0..ih-1 — no holes) ----
+    for i in range(depth):
+        @pl.when((i < nc) & (te_at(i) <= horizon0))
+        def _(i=i):
+            start_copy(i, i % ns)
+    ih0 = jnp.int32(0)
+    for i in range(depth):
+        ih0 = ih0 + ((i < nc) & (te_at(i) <= horizon0)).astype(jnp.int32)
 
     # while_loop, not fori: the loop TERMINATES at the first beyond-
     # horizon cluster instead of running dead iterations (a fori over
     # nc_pad spends ~40% of the sweep on scalar overhead of dead steps).
-    # Slot indices are kept STATIC (two branches per site): dynamic
+    # Slot indices are kept STATIC (ns branches per site): dynamic
     # leading-dim indexing of VMEM scratch / semaphore arrays crashes
     # the Mosaic compiler.
+    #
+    # Pipeline invariants (measured: with 1 copy in flight the sweep is
+    # pure DMA latency, ~4 µs/visit at ray_block 2048):
+    # - copy j is issued exactly once: in the prologue (j < depth) or at
+    #   body j-depth (the loop reaching body j implies te_at(j) was
+    #   within the horizon at body j-depth, so that issue fired);
+    # - if an issue is ever gated OFF (te_at(ih) beyond the shrunken
+    #   horizon), the horizon only shrinks further, so the loop dies
+    #   before needing cluster ih — no later issues are required;
+    # - the drain waits the issued-but-unprocessed suffix [j, ih).
     def cond(carry):
-        j, horizon, live = carry
+        j, horizon, live, ih = carry
         return live
 
     def body(carry):
-        j, horizon, live = carry
-        odd = jax.lax.rem(j, 2) == 1
+        j, horizon, live, ih = carry
+        slot_j = jax.lax.rem(j, ns)
 
-        for slot in (0, 1):
-            @pl.when(odd == (slot == 1))
+        for slot in range(ns):
+            @pl.when(slot_j == slot)
             def _(slot=slot):
                 wait_copy(slot)
                 _intersect_tile(
@@ -172,20 +196,78 @@ def _kernel_stream(
                 )
 
         horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
-        # prefetch invariant: the NEXT iteration waits iff next_live,
-        # and a copy was started iff next_live — always matched, no
-        # drain needed (once live drops it never comes back: te is
-        # ascending and the horizon only shrinks)
-        next_live = (j + 1 < nc) & (te_at(j + 1) <= horizon2)
-
-        for slot in (0, 1):
-            @pl.when(next_live & (odd == (slot == 0)))
+        nxt = j + depth
+        do_issue = (nxt == ih) & (nxt < nc) & (te_at(nxt) <= horizon2)
+        slot_n = jax.lax.rem(nxt, ns)
+        for slot in range(ns):
+            @pl.when(do_issue & (slot_n == slot))
             def _(slot=slot):
-                start_copy(j + 1, slot)
+                start_copy(nxt, slot)
+        ih2 = ih + do_issue.astype(jnp.int32)
 
+        next_live = (j + 1 < ih2) & (te_at(j + 1) <= horizon2)
+        return j + 1, horizon2, next_live, ih2
+
+    j_f, _, _, ih_f = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), horizon0, ih0 > 0, ih0),
+    )
+
+    # ---- drain issued-but-unprocessed copies so no semaphore leaks
+    # into the next grid step ----
+    for k in range(depth):
+        i = j_f + k
+        slot_i = jax.lax.rem(i, ns)
+        for slot in range(ns):
+            @pl.when((i < ih_f) & (slot_i == slot))
+            def _(slot=slot):
+                wait_copy(slot)
+
+
+def _kernel_resident(order_ref, te_ref, rays_ref, w_ref, out_ref, idx_ref):
+    """Per-ray-block sweep with the WHOLE Woop table resident in VMEM.
+
+    For scenes whose packed table fits on-chip (≤ RESIDENT_MAX_TRIS,
+    ~96 B/triangle) the streaming kernel's per-visit HBM→VMEM copy is
+    pure waste: measured 4.1 µs/visit at ray_block 2048 with the DMA
+    latency fully exposed (matmul-only and full-epilogue variants time
+    IDENTICALLY — the sweep is DMA-bound, not compute-bound). Here the
+    (nc, 8, 3C) table is copied in once by the pipeline (constant index
+    map → stays resident across grid steps) and each visit just
+    dynamic-slices its cluster — per-visit cost drops to the compute.
+    """
+    out_ref[0, :] = jnp.full_like(out_ref[0, :], BIG)
+    idx_ref[0, :] = jnp.full_like(idx_ref[0, :], -1)
+    t_max = rays_ref[7, :]
+    horizon0 = jnp.max(t_max)
+
+    te_row = te_ref[0]
+    order_row = order_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, te_row.shape, 1)
+
+    def te_at(j):
+        return jnp.min(jnp.where(lane == j, te_row, jnp.float32(np.inf)))
+
+    def cid_at(j):
+        return jnp.max(jnp.where(lane == j, order_row, 0))
+
+    nc = te_ref.shape[-1]
+
+    def cond(carry):
+        j, horizon, live = carry
+        return live
+
+    def body(carry):
+        j, horizon, live = carry
+        cid = cid_at(j)
+        _intersect_tile(rays_ref, w_ref[cid], out_ref, idx_ref, cid)
+        horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
+        next_live = (j + 1 < nc) & (te_at(j + 1) <= horizon2)
         return j + 1, horizon2, next_live
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), horizon0, live0))
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), horizon0, te_at(0) <= horizon0)
+    )
 
 
 def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id):
@@ -306,16 +388,19 @@ def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_block", "chunk", "interpret")
+    jax.jit,
+    static_argnames=("ray_block", "chunk", "interpret", "resident"),
 )
 def intersect_woop_packed(
     rays, w, cluster_lo, cluster_hi,
     ray_block: int = 2048, chunk: int = CLUSTER_SIZE,
-    interpret: bool = False,
+    interpret: bool = False, resident: bool | None = None,
 ):
     n = rays.shape[1]
     t = w.shape[0] // 3
     nb, nc = n // ray_block, t // chunk
+    if resident is None:
+        resident = t <= RESIDENT_MAX_TRIS
     te = _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block)
     if os.environ.get("MQ_WOOP_NOCULL"):
         # perf-anatomy knob: defeat culling so the sweep visits exactly
@@ -339,23 +424,8 @@ def intersect_woop_packed(
     te_s = te_s[:, None, :]
     order = order[:, None, :]
 
-    out, idx = pl.pallas_call(
-        _kernel_stream,
+    common = dict(
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, nc_pad), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, nc_pad), lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (8, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),  # w stays in HBM
-        ],
         out_specs=[
             pl.BlockSpec(
                 (1, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -368,11 +438,44 @@ def intersect_woop_packed(
             jax.ShapeDtypeStruct((1, n), jnp.float32),
             jax.ShapeDtypeStruct((1, n), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 8, 3 * chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
         interpret=interpret,
+    )
+    spec_order = pl.BlockSpec(
+        (1, 1, nc_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_te = pl.BlockSpec(
+        (1, 1, nc_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    spec_rays = pl.BlockSpec(
+        (8, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    if resident:
+        # whole table VMEM-resident: (nc, 8, 3C), constant index map →
+        # copied in once and reused by every grid step
+        w_res = w.T.reshape(8, nc, 3 * chunk).transpose(1, 0, 2)
+        out, idx = pl.pallas_call(
+            _kernel_resident,
+            in_specs=[
+                spec_order, spec_te, spec_rays,
+                pl.BlockSpec(
+                    (nc, 8, 3 * chunk), lambda i: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            **common,
+        )(order, te_s, rays, w_res)
+        return out, idx
+    out, idx = pl.pallas_call(
+        _kernel_stream,
+        in_specs=[
+            spec_order, spec_te, spec_rays,
+            pl.BlockSpec(memory_space=pl.ANY),  # w stays in HBM
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((4, 8, 3 * chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        **common,
     )(order, te_s, rays, w.T)
     return out, idx
 
@@ -436,7 +539,7 @@ def _recompute_tuv(accel, o, d, t_approx, tri):
 
 def intersect_woop(
     accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
-    sort_rays=False,
+    sort_rays=False, resident=None,
 ):
     """HitRecord-compatible Woop-kernel intersection. Requires the accel
     to carry `woop_w` (see build_accel). ``sort_rays`` bins incoherent
@@ -475,7 +578,7 @@ def intersect_woop(
             t_max_s = out[nb]
         hr = intersect_woop(
             accel, o_s, d_s, t_min_s, t_max_s, ray_block=ray_block,
-            interpret=interpret, sort_rays=False,
+            interpret=interpret, sort_rays=False, resident=resident,
         )
         # un-sort: sort by original position carrying the results. tri
         # must NOT ride bit-cast in an f32 lane: TPU canonicalizes NaN
@@ -500,7 +603,7 @@ def intersect_woop(
     out, idx = intersect_woop_packed(
         rays, accel.woop_w,
         accel.cluster_lo, accel.cluster_hi,
-        ray_block=ray_block, interpret=interpret,
+        ray_block=ray_block, interpret=interpret, resident=resident,
     )
     t, tri = out[0, :n], idx[0, :n]
     t, u, v = _recompute_tuv(accel, o, d, t, tri)

@@ -231,3 +231,36 @@ def test_woop_kernel_matches_oracle_including_misses(rng):
     np.testing.assert_allclose(
         np.asarray(hw.t)[hit], np.asarray(ho.t)[hit], rtol=1e-4, atol=1e-3
     )
+
+
+def test_woop_streaming_kernel_matches_resident(rng):
+    """The HBM-streaming sweep (big scenes) and the VMEM-resident sweep
+    (small scenes) must agree exactly; tests the deep prefetch pipeline
+    issue/wait/drain bookkeeping on the streaming path."""
+    from merian_quake_tpu.accel import woop
+    from merian_quake_tpu.accel.woop import intersect_woop
+
+    t = 512
+    c = rng.uniform(-40, 40, (t, 1, 3))
+    tri = c + rng.uniform(-6, 6, (t, 3, 3))
+    scene = build_scene_from_soup(
+        tri[:, 0].astype(np.float32),
+        tri[:, 1].astype(np.float32),
+        tri[:, 2].astype(np.float32),
+    )
+    acc = build_accel(scene)
+    n = 512
+    o = jnp.asarray(rng.uniform(-60, 60, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    res = intersect_woop(
+        acc, o, d, 0.0, 1e4, ray_block=128, interpret=True, resident=True
+    )
+    stream = intersect_woop(
+        acc, o, d, 0.0, 1e4, ray_block=128, interpret=True, resident=False
+    )
+    np.testing.assert_array_equal(
+        np.asarray(stream.tri), np.asarray(res.tri)
+    )
+    np.testing.assert_array_equal(np.asarray(stream.t), np.asarray(res.t))
