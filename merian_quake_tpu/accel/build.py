@@ -23,6 +23,8 @@ import numpy as np
 from ..models import materials
 from ..models.types import CLUSTER_SIZE, Scene, TextureAtlas
 
+CLUSTER_FINE = 32  # fine-culling chunk for coherent ray packets
+
 
 class AccelScene(NamedTuple):
     """Scene + intersection metadata (all leading-dim T, Morton order)."""
@@ -38,6 +40,13 @@ class AccelScene(NamedTuple):
     # gather per hit instead of ~12 — see trace.ATTR_* layout)
     world_lo: jnp.ndarray  # f32[3] scene bounds (ray-sort quantization)
     world_hi: jnp.ndarray
+    # FINE variant (chunk = CLUSTER_FINE = 32): tighter culling for
+    # coherent (primary/camera) ray packets — measured ~20% faster
+    # primaries; bounce packets stay on the coarse table (finer tiles
+    # lose there: visits multiply faster than pairs shrink)
+    woop_w_fine: jnp.ndarray | None = None  # f32[3T, 8] packed chunk=32
+    cluster_lo_fine: jnp.ndarray | None = None  # f32[C*4, 3]
+    cluster_hi_fine: jnp.ndarray | None = None
 
     @property
     def num_clusters(self) -> int:
@@ -149,6 +158,23 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
 
         woop_w, woop_cand = build_woop(v0, v1, v2, candidate)
 
+    # fine (chunk=32) packing + AABBs for coherent-packet culling
+    from .woop import build_woop as _build_woop_py
+
+    woop_w_fine, _ = _build_woop_py(v0, v1, v2, candidate, chunk=CLUSTER_FINE)
+    aabbs_f = native.cluster_aabbs(v0, v1, v2, candidate, CLUSTER_FINE)
+    if aabbs_f is not None:
+        lo_f, hi_f = aabbs_f
+    else:
+        Cf = T // CLUSTER_FINE
+        pts = np.stack([v0, v1, v2], axis=1).reshape(Cf, CLUSTER_FINE * 3, 3)
+        cmask = candidate.reshape(Cf, CLUSTER_FINE).repeat(3, axis=1).reshape(
+            Cf, CLUSTER_FINE * 3
+        )
+        big = np.float32(1e30)
+        lo_f = np.where(cmask[..., None], pts, big).min(axis=1)
+        hi_f = np.where(cmask[..., None], pts, -big).max(axis=1)
+
     sc = scene
     attr = np.zeros((T, 40), np.float32)
     attr[:, 0:3] = np.asarray(sc.v0)
@@ -193,6 +219,9 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
         tri_attr=jnp.asarray(attr),
         world_lo=jnp.asarray(np.nanmin(np.where(valid[:, None], v0, np.nan), axis=0).astype(np.float32)),
         world_hi=jnp.asarray(np.nanmax(np.where(valid[:, None], v0, np.nan), axis=0).astype(np.float32)),
+        woop_w_fine=jnp.asarray(woop_w_fine),
+        cluster_lo_fine=jnp.asarray(lo_f.astype(np.float32)),
+        cluster_hi_fine=jnp.asarray(hi_f.astype(np.float32)),
     )
 
 

@@ -53,7 +53,9 @@ _INF = jnp.float32(np.inf)
 RESIDENT_MAX_TRIS = 65536
 
 
-def build_woop(v0, v1, v2, candidate) -> tuple[np.ndarray, np.ndarray]:
+def build_woop(
+    v0, v1, v2, candidate, chunk: int = CLUSTER_SIZE
+) -> tuple[np.ndarray, np.ndarray]:
     """Host precompute: (w[3T, 8] packed rows, updated candidate).
 
     Returned w has kernel layout (3T, 8): per CLUSTER_SIZE chunk, the
@@ -77,7 +79,7 @@ def build_woop(v0, v1, v2, candidate) -> tuple[np.ndarray, np.ndarray]:
     inv = np.linalg.inv(m_safe)  # (T, 3, 3) rows of M
     b = -np.einsum("tij,tj->ti", inv, v0)
     t = v0.shape[0]
-    c = CLUSTER_SIZE
+    c = chunk
     assert t % c == 0, (t, c)
     # rows (T, 3, 4): per-triangle affine rows [A | b]
     rows = np.concatenate([inv, b[:, :, None]], axis=2).astype(np.float32)
@@ -101,7 +103,8 @@ def bake_candidacy(w: np.ndarray, cand: np.ndarray) -> np.ndarray:
 
 
 def _kernel_stream(
-    order_ref, te_ref, rays_ref, w_hbm, out_ref, idx_ref, wbuf, sems
+    order_ref, te_ref, rays_ref, w_hbm, t0_ref, i0_ref, out_ref, idx_ref,
+    wbuf, sems, *, max_visits=None, start_visit=0,
 ):
     """Per-ray-block streaming sweep (one grid step per ray block).
 
@@ -114,10 +117,10 @@ def _kernel_stream(
     cluster is farther still, so this is an EXACT early-out, like a
     BVH walk without divergent per-ray stacks.
     """
-    out_ref[0, :] = jnp.full_like(out_ref[0, :], BIG)
-    idx_ref[0, :] = jnp.full_like(idx_ref[0, :], -1)
+    out_ref[0, :] = t0_ref[0, :]
+    idx_ref[0, :] = i0_ref[0, :]
     t_max = rays_ref[7, :]
-    horizon0 = jnp.max(t_max)
+    horizon0 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
 
     te_row = te_ref[0]  # (1, nc_pad) ascending (+inf padded)
     order_row = order_ref[0]  # (1, nc_pad) i32 cluster ids
@@ -149,18 +152,23 @@ def _kernel_stream(
             w_hbm.at[:, pl.ds(0, c3)], wbuf.at[slot], sems.at[slot]
         ).wait()
 
-    nc = te_ref.shape[-1]
+    nc = te_ref.shape[-1] if max_visits is None else min(
+        max_visits, te_ref.shape[-1]
+    )
     ns = wbuf.shape[0]  # slots
     depth = ns - 1  # copies kept in flight ahead of the compute
 
-    # ---- prologue: issue the first `depth` copies (te ascending, so
-    # the issued set is always a PREFIX 0..ih-1 — no holes) ----
-    for i in range(depth):
+    # ---- prologue: issue the first `depth` copies from start_visit
+    # (te ascending, so the issued set is always a PREFIX — no holes)
+    j0 = start_visit
+    for k in range(depth):
+        i = j0 + k
         @pl.when((i < nc) & (te_at(i) <= horizon0))
         def _(i=i):
             start_copy(i, i % ns)
-    ih0 = jnp.int32(0)
-    for i in range(depth):
+    ih0 = jnp.int32(j0)
+    for k in range(depth):
+        i = j0 + k
         ih0 = ih0 + ((i < nc) & (te_at(i) <= horizon0)).astype(jnp.int32)
 
     # while_loop, not fori: the loop TERMINATES at the first beyond-
@@ -210,7 +218,7 @@ def _kernel_stream(
 
     j_f, _, _, ih_f = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(0), horizon0, ih0 > 0, ih0),
+        (jnp.int32(j0), horizon0, ih0 > j0, ih0),
     )
 
     # ---- drain issued-but-unprocessed copies so no semaphore leaks
@@ -224,7 +232,10 @@ def _kernel_stream(
                 wait_copy(slot)
 
 
-def _kernel_resident(order_ref, te_ref, rays_ref, w_ref, out_ref, idx_ref):
+def _kernel_resident(
+    order_ref, te_ref, rays_ref, w_ref, t0_ref, i0_ref, out_ref, idx_ref,
+    *, max_visits=None, start_visit=0,
+):
     """Per-ray-block sweep with the WHOLE Woop table resident in VMEM.
 
     For scenes whose packed table fits on-chip (≤ RESIDENT_MAX_TRIS,
@@ -236,10 +247,12 @@ def _kernel_resident(order_ref, te_ref, rays_ref, w_ref, out_ref, idx_ref):
     map → stays resident across grid steps) and each visit just
     dynamic-slices its cluster — per-visit cost drops to the compute.
     """
-    out_ref[0, :] = jnp.full_like(out_ref[0, :], BIG)
-    idx_ref[0, :] = jnp.full_like(idx_ref[0, :], -1)
+    out_ref[0, :] = t0_ref[0, :]
+    idx_ref[0, :] = i0_ref[0, :]
     t_max = rays_ref[7, :]
-    horizon0 = jnp.max(t_max)
+    # warm start: a prior partial sweep's best_t tightens the horizon
+    # BEFORE the first visit, collapsing this block's te-prefix
+    horizon0 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
 
     te_row = te_ref[0]
     order_row = order_ref[0]
@@ -251,7 +264,10 @@ def _kernel_resident(order_ref, te_ref, rays_ref, w_ref, out_ref, idx_ref):
     def cid_at(j):
         return jnp.max(jnp.where(lane == j, order_row, 0))
 
-    nc = te_ref.shape[-1]
+    nc = te_ref.shape[-1] if max_visits is None else min(
+        max_visits, te_ref.shape[-1]
+    )
+    j0 = start_visit
 
     def cond(carry):
         j, horizon, live = carry
@@ -266,7 +282,8 @@ def _kernel_resident(order_ref, te_ref, rays_ref, w_ref, out_ref, idx_ref):
         return j + 1, horizon2, next_live
 
     jax.lax.while_loop(
-        cond, body, (jnp.int32(0), horizon0, te_at(0) <= horizon0)
+        cond, body,
+        (jnp.int32(j0), horizon0, (j0 < nc) & (te_at(j0) <= horizon0)),
     )
 
 
@@ -389,18 +406,27 @@ def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("ray_block", "chunk", "interpret", "resident"),
+    static_argnames=(
+        "ray_block", "chunk", "interpret", "resident", "max_visits",
+        "start_visit",
+    ),
 )
 def intersect_woop_packed(
     rays, w, cluster_lo, cluster_hi,
     ray_block: int = 2048, chunk: int = CLUSTER_SIZE,
     interpret: bool = False, resident: bool | None = None,
+    init=None, max_visits: int | None = None, start_visit: int = 0,
 ):
     n = rays.shape[1]
     t = w.shape[0] // 3
     nb, nc = n // ray_block, t // chunk
     if resident is None:
         resident = t <= RESIDENT_MAX_TRIS
+    if init is None:
+        t0 = jnp.full((1, n), BIG, jnp.float32)
+        i0 = jnp.full((1, n), -1, jnp.int32)
+    else:
+        t0, i0 = init
     te = _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block)
     if os.environ.get("MQ_WOOP_NOCULL"):
         # perf-anatomy knob: defeat culling so the sweep visits exactly
@@ -449,34 +475,45 @@ def intersect_woop_packed(
     spec_rays = pl.BlockSpec(
         (8, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
     )
+    spec_init = pl.BlockSpec(
+        (1, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
     if resident:
         # whole table VMEM-resident: (nc, 8, 3C), constant index map →
         # copied in once and reused by every grid step
         w_res = w.T.reshape(8, nc, 3 * chunk).transpose(1, 0, 2)
         out, idx = pl.pallas_call(
-            _kernel_resident,
+            functools.partial(
+                _kernel_resident,
+                max_visits=max_visits, start_visit=start_visit,
+            ),
             in_specs=[
                 spec_order, spec_te, spec_rays,
                 pl.BlockSpec(
                     (nc, 8, 3 * chunk), lambda i: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
+                spec_init, spec_init,
             ],
             **common,
-        )(order, te_s, rays, w_res)
+        )(order, te_s, rays, w_res, t0, i0)
         return out, idx
     out, idx = pl.pallas_call(
-        _kernel_stream,
+        functools.partial(
+            _kernel_stream,
+            max_visits=max_visits, start_visit=start_visit,
+        ),
         in_specs=[
             spec_order, spec_te, spec_rays,
             pl.BlockSpec(memory_space=pl.ANY),  # w stays in HBM
+            spec_init, spec_init,
         ],
         scratch_shapes=[
             pltpu.VMEM((4, 8, 3 * chunk), jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
         **common,
-    )(order, te_s, rays, w.T)
+    )(order, te_s, rays, w.T, t0, i0)
     return out, idx
 
 
@@ -539,16 +576,45 @@ def _recompute_tuv(accel, o, d, t_approx, tri):
 
 def intersect_woop(
     accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
-    sort_rays=False, resident=None,
+    sort_rays=False, resident=None, chunk=None, phase1_visits=0,
+    fine=None,
 ):
     """HitRecord-compatible Woop-kernel intersection. Requires the accel
     to carry `woop_w` (see build_accel). ``sort_rays`` bins incoherent
     (bounce) rays by direction octant + origin Morton so the frustum
     culling and the near-to-far horizon stay effective; sorts/permutes
-    are ~free on TPU relative to one trace."""
+    are ~free on TPU relative to one trace.
+
+    ``phase1_visits`` > 0 runs the sweep in TWO rounds: round 1 visits
+    only each block's first K nearest clusters, round 2 resumes at K
+    warm-started with round-1 hits (exact same results — min is
+    idempotent, te ascending). MEASURED A WASH on one trace (the
+    dynamic horizon already prunes identically), so it is off by
+    default; the warm-start/max_visits plumbing it rides on is used to
+    resume sweeps across separate calls."""
     from .intersect import HitRecord
 
     n = o.shape[0]
+    if (
+        fine is None
+        and not sort_rays
+        and getattr(accel, "woop_w_fine", None) is not None
+    ):
+        # coherent (unsorted primary) packets cull much tighter on the
+        # fine table; sorted bounce packets lose there (visits multiply
+        # faster than pairs shrink) and stay coarse
+        fine = True
+    if fine and getattr(accel, "woop_w_fine", None) is not None:
+        accel = accel._replace(
+            woop_w=accel.woop_w_fine,
+            cluster_lo=accel.cluster_lo_fine,
+            cluster_hi=accel.cluster_hi_fine,
+        )
+        ray_block = min(ray_block, 1024)
+        fine = False  # resolved; recursive sorted path keeps the swap
+    if chunk is None:
+        # the packing granularity is whatever the table was built with
+        chunk = (accel.woop_w.shape[0] // 3) // accel.cluster_lo.shape[0]
     # keep scalar bounds scalar through the sort (no permute needed)
     t_min_s = jnp.asarray(t_min, jnp.float32)
     t_max_s = jnp.asarray(t_max, jnp.float32)
@@ -579,6 +645,7 @@ def intersect_woop(
         hr = intersect_woop(
             accel, o_s, d_s, t_min_s, t_max_s, ray_block=ray_block,
             interpret=interpret, sort_rays=False, resident=resident,
+            chunk=chunk, phase1_visits=phase1_visits, fine=False,
         )
         # un-sort: sort by original position carrying the results. tri
         # must NOT ride bit-cast in an f32 lane: TPU canonicalizes NaN
@@ -600,11 +667,25 @@ def intersect_woop(
     rays = jnp.concatenate(
         [o_p.T, d_p.T, t_min_b[None], t_max_b[None]], axis=0
     )
-    out, idx = intersect_woop_packed(
-        rays, accel.woop_w,
-        accel.cluster_lo, accel.cluster_hi,
-        ray_block=ray_block, interpret=interpret, resident=resident,
+    kw = dict(
+        ray_block=ray_block, chunk=chunk, interpret=interpret,
+        resident=resident,
     )
+    t = accel.woop_w.shape[0] // 3
+    if phase1_visits and t // chunk > 2 * phase1_visits:
+        init = intersect_woop_packed(
+            rays, accel.woop_w, accel.cluster_lo, accel.cluster_hi,
+            max_visits=phase1_visits, **kw,
+        )
+        out, idx = intersect_woop_packed(
+            rays, accel.woop_w, accel.cluster_lo, accel.cluster_hi,
+            init=init, start_visit=phase1_visits, **kw,
+        )
+    else:
+        out, idx = intersect_woop_packed(
+            rays, accel.woop_w,
+            accel.cluster_lo, accel.cluster_hi, **kw,
+        )
     t, tri = out[0, :n], idx[0, :n]
     t, u, v = _recompute_tuv(accel, o, d, t, tri)
     return HitRecord(t=t, tri=tri, u=u, v=v)
