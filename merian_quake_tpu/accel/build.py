@@ -47,6 +47,16 @@ class AccelScene(NamedTuple):
     woop_w_fine: jnp.ndarray | None = None  # f32[3T, 8] packed chunk=32
     cluster_lo_fine: jnp.ndarray | None = None  # f32[C*4, 3]
     cluster_hi_fine: jnp.ndarray | None = None
+    # SHADOW variant: sky + alpha-tested triangles zeroed (sky passes
+    # light, raytrace.glsl:122-145; alpha resolved on the alpha-only
+    # table below). Shares woop_w's buffer when the scene has neither.
+    woop_w_shadow: jnp.ndarray | None = None  # f32[3T, 8]
+    # ALPHA-ONLY variant: just the needs_alpha triangles, with their
+    # own cluster AABBs (empty clusters cull to +inf te). None when the
+    # scene has no alpha-tested triangles.
+    woop_w_alpha: jnp.ndarray | None = None  # f32[3T, 8]
+    cluster_lo_alpha: jnp.ndarray | None = None  # f32[C, 3]
+    cluster_hi_alpha: jnp.ndarray | None = None
 
     @property
     def num_clusters(self) -> int:
@@ -158,6 +168,37 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
 
         woop_w, woop_cand = build_woop(v0, v1, v2, candidate)
 
+    # shadow table (any-hit visibility): sky + alpha-tested tris zeroed
+    from .woop import bake_candidacy as _bake
+
+    flags_m = np.asarray(scene.flags)
+    sky_m = flags_m == materials.MAT_FLAGS_SKY
+    shadow_cand = candidate & ~sky_m & ~needs_alpha
+    if shadow_cand.sum() == candidate.sum():
+        woop_w_shadow = woop_w  # same buffer — no sky/alpha tris
+    else:
+        woop_w_shadow = _bake(woop_w, shadow_cand)
+
+    # alpha-only table + its own cluster AABBs for exact alpha
+    # occlusion in trace_visibility (tiny: only fence-like geometry)
+    alpha_cand = candidate & needs_alpha
+    woop_w_alpha = lo_a = hi_a = None
+    if alpha_cand.any():
+        woop_w_alpha = _bake(woop_w, alpha_cand)
+        aabbs_a = native.cluster_aabbs(v0, v1, v2, alpha_cand, CLUSTER_SIZE)
+        if aabbs_a is not None:
+            lo_a, hi_a = aabbs_a
+        else:
+            C = T // CLUSTER_SIZE
+            pts = np.stack([v0, v1, v2], axis=1).reshape(
+                C, CLUSTER_SIZE * 3, 3
+            )
+            am = alpha_cand.reshape(C, CLUSTER_SIZE).repeat(3, axis=1)
+            am = am.reshape(C, CLUSTER_SIZE * 3)
+            big = np.float32(1e30)
+            lo_a = np.where(am[..., None], pts, big).min(axis=1)
+            hi_a = np.where(am[..., None], pts, -big).max(axis=1)
+
     # fine (chunk=32) packing + AABBs for coherent-packet culling
     from .woop import build_woop as _build_woop_py
 
@@ -214,7 +255,7 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
         needs_alpha=jnp.asarray(needs_alpha),
         cluster_lo=jnp.asarray(lo_c.astype(np.float32)),
         cluster_hi=jnp.asarray(hi_c.astype(np.float32)),
-        woop_w=jnp.asarray(woop_w),
+        woop_w=(woop_w_dev := jnp.asarray(woop_w)),
         woop_cand=jnp.asarray(woop_cand[None].astype(np.float32)),
         tri_attr=jnp.asarray(attr),
         world_lo=jnp.asarray(np.nanmin(np.where(valid[:, None], v0, np.nan), axis=0).astype(np.float32)),
@@ -222,6 +263,19 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
         woop_w_fine=jnp.asarray(woop_w_fine),
         cluster_lo_fine=jnp.asarray(lo_f.astype(np.float32)),
         cluster_hi_fine=jnp.asarray(hi_f.astype(np.float32)),
+        woop_w_shadow=(
+            woop_w_dev if woop_w_shadow is woop_w
+            else jnp.asarray(woop_w_shadow)
+        ),
+        woop_w_alpha=(
+            None if woop_w_alpha is None else jnp.asarray(woop_w_alpha)
+        ),
+        cluster_lo_alpha=(
+            None if lo_a is None else jnp.asarray(lo_a.astype(np.float32))
+        ),
+        cluster_hi_alpha=(
+            None if hi_a is None else jnp.asarray(hi_a.astype(np.float32))
+        ),
     )
 
 

@@ -236,13 +236,46 @@ def trace_visibility(
     to_pos: jnp.ndarray,
     offset: float = 1e-3,
     chunk: int = 128,
+    sort_rays: bool = False,
 ) -> jnp.ndarray:
     """Visibility between points; sky hits count as visible
-    (raytrace.glsl:122-145)."""
+    (raytrace.glsl:122-145).
+
+    TPU path: occlusion-only any-hit sweep on the shadow Woop table
+    (sky/alpha zeroed — see build_accel) — no winner bookkeeping and
+    fully occluded ray blocks exit at their first hit cluster. Alpha-
+    tested triangles are resolved exactly by a nearest+alpha-loop
+    trace on the alpha-only table (tiny: its clusters cover only
+    fence-like geometry). One divergence from the oracle: a surface
+    BEHIND a sky polygon still occludes (the oracle commits the nearer
+    sky hit and calls the ray visible) — real maps keep sky as the
+    outermost shell, so no such surface exists.
+    """
     wo = to_pos - from_pos
     dist = jnp.linalg.norm(wo, axis=-1)
     d = wo / jnp.maximum(dist, 1e-20)[..., None]
     t_max = jnp.maximum(offset, dist - 2.0 * offset)
+    if _use_pallas():
+        from .woop import intersect_woop_any
+
+        occ = intersect_woop_any(
+            accel, from_pos, d, offset, t_max, sort_rays=sort_rays
+        )
+        vis = ~occ
+        if tex is not None and accel.woop_w_alpha is not None:
+            aacc = accel._replace(
+                woop_w=accel.woop_w_alpha,
+                cluster_lo=accel.cluster_lo_alpha,
+                cluster_hi=accel.cluster_hi_alpha,
+                woop_w_fine=None,
+                cluster_lo_fine=None,
+                cluster_hi_fine=None,
+            )
+            hr = trace_nearest(
+                aacc, tex, from_pos, d, offset, t_max, chunk=chunk
+            )
+            vis &= ~hr.hit
+        return vis
     hr = trace_nearest(accel, tex, from_pos, d, offset, t_max, chunk=chunk)
     flags = jnp.take(accel.scene.flags, jnp.maximum(hr.tri, 0))
     sky = flags == materials.MAT_FLAGS_SKY

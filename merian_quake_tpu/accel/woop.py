@@ -104,7 +104,8 @@ def bake_candidacy(w: np.ndarray, cand: np.ndarray) -> np.ndarray:
 
 def _kernel_stream(
     order_ref, te_ref, rays_ref, w_hbm, t0_ref, i0_ref, out_ref, idx_ref,
-    wbuf, sems, *, max_visits=None, start_visit=0,
+    wbuf, sems, *, max_visits=None, start_visit=0, simple=False,
+    anyhit=False,
 ):
     """Per-ray-block streaming sweep (one grid step per ray block).
 
@@ -200,7 +201,8 @@ def _kernel_stream(
             def _(slot=slot):
                 wait_copy(slot)
                 _intersect_tile(
-                    rays_ref, wbuf[slot], out_ref, idx_ref, cid_at(j)
+                    rays_ref, wbuf[slot], out_ref, idx_ref, cid_at(j),
+                    simple=simple, anyhit=anyhit,
                 )
 
         horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
@@ -234,7 +236,8 @@ def _kernel_stream(
 
 def _kernel_resident(
     order_ref, te_ref, rays_ref, w_ref, t0_ref, i0_ref, out_ref, idx_ref,
-    *, max_visits=None, start_visit=0,
+    *, max_visits=None, start_visit=0, simple=False, group=1,
+    anyhit=False,
 ):
     """Per-ray-block sweep with the WHOLE Woop table resident in VMEM.
 
@@ -269,17 +272,36 @@ def _kernel_resident(
     )
     j0 = start_visit
 
+    # ``group`` clusters are swept per loop iteration: the loop's fixed
+    # scalar cost (carry sync, horizon/te reduces) measured ~0.6 µs —
+    # comparable to the whole tile compute at small ray blocks — so it
+    # is amortized over G visits. Exit granularity coarsens to G (the
+    # sweep may overshoot the horizon by up to G-1 near clusters).
     def cond(carry):
         j, horizon, live = carry
         return live
 
     def body(carry):
         j, horizon, live = carry
-        cid = cid_at(j)
-        _intersect_tile(rays_ref, w_ref[cid], out_ref, idx_ref, cid)
+        for g in range(group):
+            jg = j + g
+            cid = cid_at(jg)
+            in_range = (jg < nc) & (te_at(jg) <= horizon)
+            if group > 1:
+                @pl.when(in_range)
+                def _(cid=cid):
+                    _intersect_tile(
+                        rays_ref, w_ref[cid], out_ref, idx_ref, cid,
+                        simple=simple, anyhit=anyhit,
+                    )
+            else:
+                _intersect_tile(
+                    rays_ref, w_ref[cid], out_ref, idx_ref, cid,
+                    simple=simple, anyhit=anyhit,
+                )
         horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
-        next_live = (j + 1 < nc) & (te_at(j + 1) <= horizon2)
-        return j + 1, horizon2, next_live
+        next_live = (j + group < nc) & (te_at(j + group) <= horizon2)
+        return j + group, horizon2, next_live
 
     jax.lax.while_loop(
         cond, body,
@@ -287,7 +309,8 @@ def _kernel_resident(
     )
 
 
-def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id):
+def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id,
+                    simple=False, anyhit=False):
     rays = rays_ref[:]  # (8, B)
     # w: (8, 3C) TRANSPOSED row blocks [row0s | row1s | row2s] along
     # lanes, rows 0-3 used
@@ -319,19 +342,51 @@ def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id):
 
     # division-free hit test: multiply the u/v/t conditions through by
     # dz > 0 (front-facing) — exact sign decisions, no per-pair divides
-    front = dz > 1e-12
     z0n = -z0
     U = u0 * dz - z0 * du  # u·dz ≥ 0  ⇔  u ≥ 0
     V = v0 * dz - z0 * dv
-    ok = (
-        front
-        & (U >= 0.0)
-        & (V >= 0.0)
-        & (U + V <= dz)
-        & (z0n > t_min * dz)
-        & (z0n <= t_max * dz)
-    )
-    t = z0n / jnp.where(front, dz, 1.0)
+    if anyhit:
+        # occlusion-only epilogue (visibility/shadow rays): no divide,
+        # no argmin, no winner bookkeeping — ONE min-tree per pair and
+        # a column max. An occluded ray writes best_t = 0, collapsing
+        # its horizon contribution so fully-occluded blocks die at the
+        # next te check. t_min is a positive offset, so the ≥ tests
+        # are safe against MXU-flushed z0 == 0 (rejected by tmin·dz).
+        m = jnp.minimum(
+            jnp.minimum(jnp.minimum(U, V), dz - U - V),
+            jnp.minimum(
+                jnp.minimum(dz - 1e-12, z0n - t_min * dz),
+                t_max * dz - z0n,
+            ),
+        )
+        occluded = jnp.max(m, axis=0) >= 0.0  # (B,) any pair hit
+        out_ref[0, :] = jnp.where(occluded, 0.0, out_ref[0, :])
+        return
+    if simple:
+        # static-zero t_min: a strict z0n > 0 replaces the t_min
+        # compare. Strictness matters: the MXU's reduced-precision f32
+        # matmul flushes small plane distances to EXACTLY 0.0, and a
+        # ≥-test would commit those as t=0 hits that win every min
+        # (measured: ~0.07% of a random trace corrupted). The VPU
+        # epilogue is the sweep's wall (~70% of per-pair cost), so the
+        # remaining conjunction folds into one min-tree: 22 ops vs 25.
+        m = jnp.minimum(
+            jnp.minimum(jnp.minimum(U, V), dz - U - V),
+            jnp.minimum(dz - 1e-12, t_max * dz - z0n),
+        )
+        ok = (m >= 0.0) & (z0n > 0.0)
+        t = z0n / jnp.where(ok, dz, 1.0)
+    else:
+        front = dz > 1e-12
+        ok = (
+            front
+            & (U >= 0.0)
+            & (V >= 0.0)
+            & (U + V <= dz)
+            & (z0n > t_min * dz)
+            & (z0n <= t_max * dz)
+        )
+        t = z0n / jnp.where(front, dz, 1.0)
     t_m = jnp.where(ok, t, BIG)
 
     best_t = jnp.min(t_m, axis=0)
@@ -408,7 +463,7 @@ def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block):
     jax.jit,
     static_argnames=(
         "ray_block", "chunk", "interpret", "resident", "max_visits",
-        "start_visit",
+        "start_visit", "simple", "group", "anyhit",
     ),
 )
 def intersect_woop_packed(
@@ -416,6 +471,7 @@ def intersect_woop_packed(
     ray_block: int = 2048, chunk: int = CLUSTER_SIZE,
     interpret: bool = False, resident: bool | None = None,
     init=None, max_visits: int | None = None, start_visit: int = 0,
+    simple: bool = False, group: int = 1, anyhit: bool = False,
 ):
     n = rays.shape[1]
     t = w.shape[0] // 3
@@ -486,6 +542,7 @@ def intersect_woop_packed(
             functools.partial(
                 _kernel_resident,
                 max_visits=max_visits, start_visit=start_visit,
+                simple=simple, group=group, anyhit=anyhit,
             ),
             in_specs=[
                 spec_order, spec_te, spec_rays,
@@ -501,7 +558,8 @@ def intersect_woop_packed(
     out, idx = pl.pallas_call(
         functools.partial(
             _kernel_stream,
-            max_visits=max_visits, start_visit=start_visit,
+            max_visits=max_visits, start_visit=start_visit, simple=simple,
+            anyhit=anyhit,
         ),
         in_specs=[
             spec_order, spec_te, spec_rays,
@@ -518,9 +576,11 @@ def intersect_woop_packed(
 
 
 def _sort_keys(accel, o, d):
-    """Bounce-ray binning key: direction octant (high bits, so every
-    sorted block has sign-consistent directions — exactly what the
-    interval slab culling needs) then origin Morton code (locality)."""
+    """Bounce-ray binning key: direction octant + dominant-axis pair
+    (high bits, so every sorted block has sign-consistent directions
+    with a shared dominant axis — measured ~25% fewer cluster visits
+    per block than octant alone at small blocks) then origin Morton
+    code (locality)."""
     lo = accel.world_lo
     ext = jnp.maximum(accel.world_hi - lo, 1e-3)
     q = jnp.clip((o - lo) / ext * 255.0, 0.0, 255.0).astype(jnp.uint32)
@@ -538,7 +598,16 @@ def _sort_keys(accel, o, d):
         | ((d[:, 1] >= 0).astype(jnp.uint32) << 1)
         | ((d[:, 2] >= 0).astype(jnp.uint32) << 2)
     )
-    return (octant << jnp.uint32(24)) | (morton & jnp.uint32(0xFFFFFF))
+    ad = jnp.abs(d)
+    fine = (
+        (ad[:, 0] > ad[:, 2]).astype(jnp.uint32)
+        | ((ad[:, 1] > ad[:, 2]).astype(jnp.uint32) << 1)
+    )
+    return (
+        (octant << jnp.uint32(26))
+        | (fine << jnp.uint32(24))
+        | (morton & jnp.uint32(0xFFFFFF))
+    )
 
 
 def _recompute_tuv(accel, o, d, t_approx, tri):
@@ -577,7 +646,7 @@ def _recompute_tuv(accel, o, d, t_approx, tri):
 def intersect_woop(
     accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
     sort_rays=False, resident=None, chunk=None, phase1_visits=0,
-    fine=None,
+    fine=None, simple=None, group=None,
 ):
     """HitRecord-compatible Woop-kernel intersection. Requires the accel
     to carry `woop_w` (see build_accel). ``sort_rays`` bins incoherent
@@ -595,6 +664,21 @@ def intersect_woop(
     from .intersect import HitRecord
 
     n = o.shape[0]
+    if simple is None:
+        # the global (0, T_MAX] bounds compile the lean epilogue (the
+        # per-pair range tests fold into one min-tree; see
+        # _intersect_tile) — only PYTHON-scalar bounds qualify, traced
+        # bounds (alpha re-trace t_min, visibility t_max) stay general
+        simple = (
+            isinstance(t_min, (int, float)) and float(t_min) == 0.0
+            and isinstance(t_max, (int, float)) and float(t_max) >= 1e4
+        )
+    if group is None:
+        # grouped visits amortize the while-loop's fixed scalar cost
+        # over G tiles, at G-coarse exit granularity — measured a wash
+        # to a small LOSS at ray_block ≥ 1024 on chip, so default off;
+        # the plumbing stays for small-block experiments
+        group = 1
     if (
         fine is None
         and not sort_rays
@@ -646,6 +730,7 @@ def intersect_woop(
             accel, o_s, d_s, t_min_s, t_max_s, ray_block=ray_block,
             interpret=interpret, sort_rays=False, resident=resident,
             chunk=chunk, phase1_visits=phase1_visits, fine=False,
+            simple=simple, group=group,
         )
         # un-sort: sort by original position carrying the results. tri
         # must NOT ride bit-cast in an f32 lane: TPU canonicalizes NaN
@@ -669,7 +754,7 @@ def intersect_woop(
     )
     kw = dict(
         ray_block=ray_block, chunk=chunk, interpret=interpret,
-        resident=resident,
+        resident=resident, simple=simple, group=group,
     )
     t = accel.woop_w.shape[0] // 3
     if phase1_visits and t // chunk > 2 * phase1_visits:
@@ -689,3 +774,66 @@ def intersect_woop(
     t, tri = out[0, :n], idx[0, :n]
     t, u, v = _recompute_tuv(accel, o, d, t, tri)
     return HitRecord(t=t, tri=tri, u=u, v=v)
+
+
+def intersect_woop_any(
+    accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
+    sort_rays=False, resident=None, chunk=None,
+):
+    """Occlusion-only (any-hit) sweep: bool[n] `occluded`.
+
+    The TPU replacement for the reference's visibility ray queries
+    (restir_di.glsl / raytrace.glsl occlusion paths): no divide, no
+    argmin, no winner bookkeeping in the epilogue, and an occluded ray
+    collapses its horizon contribution to 0, so a fully occluded block
+    exits after its first hit cluster. Uses ``accel.woop_w_shadow``
+    (sky + alpha-tested triangles zeroed — sky passes light by the
+    reference's convention, raytrace.glsl:122-145; alpha triangles are
+    resolved exactly by the caller on a separate alpha-only table) and
+    falls back to the full table when absent. ``t_min`` must be a
+    positive scalar offset (shadow-ray epsilon).
+    """
+    w = getattr(accel, "woop_w_shadow", None)
+    if w is None:
+        w = accel.woop_w
+    n = o.shape[0]
+    if chunk is None:
+        chunk = (w.shape[0] // 3) // accel.cluster_lo.shape[0]
+    t_max_s = jnp.asarray(t_max, jnp.float32)
+    if sort_rays and n >= ray_block:
+        key = _sort_keys(accel, o, d).astype(jnp.int32)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
+        ops = [key, iota, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
+               d[:, 2]]
+        if t_max_s.ndim:
+            ops.append(t_max_s)
+        out = jax.lax.sort(ops, num_keys=1)
+        pos = out[1]
+        o_s = jnp.stack(out[2:5], axis=1)
+        d_s = jnp.stack(out[5:8], axis=1)
+        t_max_in = out[8] if t_max_s.ndim else t_max_s
+        occ = intersect_woop_any(
+            accel, o_s, d_s, t_min, t_max_in, ray_block=ray_block,
+            interpret=interpret, sort_rays=False, resident=resident,
+            chunk=chunk,
+        )
+        back = jax.lax.sort([pos, occ.astype(jnp.float32)], num_keys=1)
+        return back[1] > 0.5
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max_b = jnp.broadcast_to(t_max_s, (n,))
+    pad = (-n) % ray_block
+    o_p, d_p = o, d
+    if pad:
+        o_p = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d_p = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_min_b = jnp.concatenate([t_min_b, jnp.zeros((pad,))])
+        t_max_b = jnp.concatenate([t_max_b, jnp.full((pad,), -1.0)])
+    rays = jnp.concatenate(
+        [o_p.T, d_p.T, t_min_b[None], t_max_b[None]], axis=0
+    )
+    out, _ = intersect_woop_packed(
+        rays, w, accel.cluster_lo, accel.cluster_hi,
+        ray_block=ray_block, chunk=chunk, interpret=interpret,
+        resident=resident, anyhit=True,
+    )
+    return out[0, :n] == 0.0

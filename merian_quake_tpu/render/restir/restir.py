@@ -282,17 +282,20 @@ def render_restir(
     d = r.y_pos - surf.pos
     dist_y = jnp.sqrt(jnp.maximum(jnp.sum(d * d, -1), 1e-12))
     wo = d / dist_y[..., None]
-    origin = surf.pos - surf.wi * 1e-3
-    res = trace_ray(
-        accel, atlas, uniforms, origin, wo,
-        bilinear=config.bilinear, features=config.features,
-    )
     if rcfg.visibility_shade:
-        dist_hit = linalg.distance(surf.pos, res.hit.pos)
-        rel = jnp.abs(dist_y - dist_hit) / jnp.maximum(
-            jnp.maximum(dist_y, dist_hit), 1e-6
+        # occlusion-only visibility (any-hit sweep on TPU) — the
+        # reference's shade-time shadow ray (restir_di.comp); replaces
+        # an earlier full nearest trace whose hit was used only for a
+        # distance comparison
+        from ...accel.intersect import trace_visibility
+
+        vis = trace_visibility(
+            accel,
+            atlas if config.features.has_alpha_tris else None,
+            surf.pos,
+            r.y_pos,
         )
-        occluded = yvalid & (rel > 0.1)
+        occluded = yvalid & ~vis
         r = rsv.discard(r, occluded)
         yvalid = yvalid & ~occluded
     alpha = bsdf.roughness_to_alpha(surf.roughness)

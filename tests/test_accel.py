@@ -264,3 +264,62 @@ def test_woop_streaming_kernel_matches_resident(rng):
         np.asarray(stream.tri), np.asarray(res.tri)
     )
     np.testing.assert_array_equal(np.asarray(stream.t), np.asarray(res.t))
+
+
+def test_woop_anyhit_matches_oracle_occlusion(rng):
+    """Interpret-mode any-hit sweep vs oracle nearest-hit occlusion on
+    a random soup (no sky/alpha, so the semantics coincide exactly),
+    with per-ray t_max and guaranteed-miss rays."""
+    from merian_quake_tpu.accel.woop import intersect_woop_any
+
+    t = 256
+    c = rng.uniform(-40, 40, (t, 1, 3))
+    tri = c + rng.uniform(-8, 8, (t, 3, 3))
+    scene = build_scene_from_soup(
+        tri[:, 0].astype(np.float32),
+        tri[:, 1].astype(np.float32),
+        tri[:, 2].astype(np.float32),
+    )
+    acc = build_accel(scene)
+    assert acc.woop_w_shadow is acc.woop_w  # no sky/alpha: shared table
+    n = 512
+    o = jnp.asarray(rng.uniform(-60, 60, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_max = jnp.asarray(
+        rng.uniform(1.0, 200.0, (n,)).astype(np.float32)
+    )
+    occ = intersect_woop_any(
+        acc, o, d, 1e-3, t_max, ray_block=256, interpret=True
+    )
+    ho = intersect(acc, o, d, 1e-3, t_max)
+    # oracle occlusion: any committed front-facing hit within range.
+    # boundary hits with t within one epilogue ulp of t_max may differ
+    # (the any-hit test is dz-premultiplied) — exclude exact-boundary.
+    oh = np.asarray(ho.tri) >= 0
+    tt = np.asarray(ho.t)
+    tm = np.asarray(t_max)
+    clear = ~oh | (np.abs(tt - tm) > 1e-3 * np.maximum(tm, 1.0))
+    np.testing.assert_array_equal(
+        np.asarray(occ)[clear], oh[clear]
+    )
+    assert oh.any() and (~oh).any()
+
+
+def test_trace_visibility_alpha_and_shadow_tables(rng):
+    """build_accel produces shadow/alpha tables with the right sharing
+    and coverage; alpha-only cluster AABBs cover the alpha tris."""
+    from tests.test_accel import build_scene_from_soup  # self-import ok
+
+    t = 256
+    c = rng.uniform(-40, 40, (t, 1, 3))
+    tri = c + rng.uniform(-8, 8, (t, 3, 3))
+    scene = build_scene_from_soup(
+        tri[:, 0].astype(np.float32),
+        tri[:, 1].astype(np.float32),
+        tri[:, 2].astype(np.float32),
+    )
+    acc = build_accel(scene)
+    assert acc.woop_w_alpha is None  # no alpha-tested tris
+    assert acc.woop_w_shadow is acc.woop_w
