@@ -665,14 +665,13 @@ def intersect_woop(
 
     n = o.shape[0]
     if simple is None:
-        # the global (0, T_MAX] bounds compile the lean epilogue (the
-        # per-pair range tests fold into one min-tree; see
-        # _intersect_tile) — only PYTHON-scalar bounds qualify, traced
-        # bounds (alpha re-trace t_min, visibility t_max) stay general
-        simple = (
-            isinstance(t_min, (int, float)) and float(t_min) == 0.0
-            and isinstance(t_max, (int, float)) and float(t_max) >= 1e4
-        )
+        # a static ZERO t_min compiles the lean epilogue (the strict
+        # z0n > 0 replaces the t_min compare and the hit conjunction
+        # folds into one min-tree; see _intersect_tile). t_max is read
+        # per-ray either way, so traced t_max (masked dead paths) still
+        # qualifies; only the alpha re-trace's traced t_min stays
+        # general.
+        simple = isinstance(t_min, (int, float)) and float(t_min) == 0.0
     if group is None:
         # grouped visits amortize the while-loop's fixed scalar cost
         # over G tiles, at G-coarse exit granularity — measured a wash
@@ -708,7 +707,13 @@ def intersect_woop(
         # (~27 ns/row) while one extra sort operand is ~free. Forward:
         # sort by the coherence key carrying (o, d, bounds, iota);
         # backward: sort by the carried iota carrying the hit record.
-        key = _sort_keys(accel, o, d).astype(jnp.int32)
+        key = _sort_keys(accel, o, d)
+        if t_max_s.ndim:
+            # masked (dead-path) rays, t_max ≤ 0: a high key bit packs
+            # them into dedicated trailing blocks whose horizon starts
+            # negative — the sweep loop never takes an iteration there
+            key = key | ((t_max_s <= 0.0).astype(jnp.uint32) << 29)
+        key = key.astype(jnp.int32)
         iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
         ops = [key, iota, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
                d[:, 2]]

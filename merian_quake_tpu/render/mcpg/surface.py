@@ -210,12 +210,14 @@ def render_mcpg_surface(
                 + (1.0 - mcfg.surf_bsdf_p) * guided_p
             )
 
-            # ---- trace next segment ----
+            # ---- trace next segment (dead lanes masked: they trace
+            # with t_max = -1 → uniform miss at near-zero sweep cost;
+            # every consumer below is already gated on ``active``) ----
             origin = cur.pos - cur.wi * 1e-3
             res = trace_ray(
                 accel, atlas, uniforms, origin, wo,
                 bilinear=config.bilinear, features=config.features,
-                sort_rays=True,
+                sort_rays=True, active=active,
             )
             incident = res.contribution
             has_inc = (incident > 0.0).any(axis=-1)

@@ -84,7 +84,7 @@ def render_pt(
             res = trace_ray(
                 accel, atlas, uniforms, origin, wo,
                 bilinear=config.bilinear, features=config.features,
-                sort_rays=True,
+                sort_rays=True, active=active,
             )
 
             micro = bsdf.eval_times_cos(cur.wi, wo, cur.normal, alpha)

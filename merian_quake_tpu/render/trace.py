@@ -150,6 +150,7 @@ def trace_ray(
         sky_mode="cubemap", has_fb=True, has_gloss=True, has_warp=True,
         has_emissive_tex=True, has_normalmap=True,
     ),
+    active=None,
 ) -> TraceResult:
     """Trace from ``pos`` along ``wi`` and shade the hit.
 
@@ -161,8 +162,15 @@ def trace_ray(
     (raytrace.glsl:232-245), with cones instead of ray differentials.
     """
     alpha_tex = atlas if features.has_alpha_tris else None
+    # ``active`` (bool[N] or None): dead (masked) rays trace with
+    # t_max = -1 — they register no hits, contribute a negative horizon
+    # to their sweep block, and the sorted path packs them into
+    # trailing blocks that exit without one loop iteration. Callers
+    # must already be masking dead rays' results (this only makes them
+    # uniformly MISS instead of computing a discarded hit).
+    t_max = T_MAX if active is None else jnp.where(active, T_MAX, -1.0)
     hr = trace_nearest(
-        accel, alpha_tex, pos, wi, 0.0, T_MAX, chunk=chunk,
+        accel, alpha_tex, pos, wi, 0.0, t_max, chunk=chunk,
         sort_rays=sort_rays,
     )
     n = pos.shape[0]
