@@ -119,6 +119,9 @@ def render_mcpg_surface(
     # one (S, 12) packed table: each of the K×segments guide draws pays
     # a single gather instead of two
     mc_packed = grids.pack_states(mc)
+    from .light_cache import _pack_lc
+
+    lc_packed = _pack_lc(lc)  # one row-gather per lc_get, not three
 
     first_hit = jax.tree.map(tile, decompress_hit(gbuf.hits))
     pixel_live = (first_hit.albedo >= 1e-7).any(axis=-1)
@@ -223,7 +226,8 @@ def render_mcpg_surface(
             has_inc = (incident > 0.0).any(axis=-1)
 
             rng_state, lc_irr = lc_get(
-                rng_state, lc, res.hit.pos, res.hit.normal, cam_x, mcfg
+                rng_state, lc, res.hit.pos, res.hit.normal, cam_x, mcfg,
+                packed=lc_packed,
             )
             use_inc = has_inc | (
                 (not mcfg.use_light_cache_tail) and config.max_path_length == 2
