@@ -112,8 +112,29 @@ def _cmd_graph(args) -> int:
     return 0
 
 
+def _apply_platform(platform: str | None):
+    """Force the JAX backend before first use. On this machine a
+    sitecustomize pins the tpu tunnel backend programmatically, so the
+    env var alone is not enough — both must be set (and before any jax
+    computation runs)."""
+    if not platform:
+        return
+    import os
+
+    os.environ["JAX_PLATFORMS"] = platform
+    import jax
+
+    jax.config.update("jax_platforms", platform)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="merian-quake-tpu")
+    p.add_argument(
+        "--platform",
+        default=None,
+        choices=["cpu", "tpu", "axon"],
+        help="force the JAX backend (headless CPU fallback: --platform cpu)",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
     pr = sub.add_parser("render", help="render a scene to an image")
     pr.add_argument("--scene", default="box", help="box | court")
@@ -148,6 +169,7 @@ def main(argv=None) -> int:
     pe.set_defaults(fn=_cmd_error)
 
     args = p.parse_args(argv)
+    _apply_platform(args.platform)
     return args.fn(args)
 
 
