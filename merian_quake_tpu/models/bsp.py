@@ -249,3 +249,122 @@ def parse_worldspawn_sun(entities: list[dict]):
         rgb = np.ones(3, np.float32)
     scale = min(intensity / 100.0, materials.MAX_SUN_COLOR)
     return d / np.linalg.norm(d), rgb * scale
+
+
+class BspCollision(NamedTuple):
+    """Flat collision tables for the game host (game/host.py
+    ``QuakeHost.load_world``): the world + submodel hulls.
+
+    Hull 0 is synthesized from the render nodes/leafs (Mod_MakeHull0
+    semantics: node children become clipnode children, leaves collapse
+    to their contents); hulls 1-2 come straight from the clipnodes
+    lump, offset past the hull-0 block so one table serves all hulls.
+    """
+
+    planes: np.ndarray  # f32[NP, 4]
+    clipnodes: np.ndarray  # i32[NC, 3] planenum, child0, child1
+    headnodes: np.ndarray  # i32[NM, 3]
+    bounds: np.ndarray  # f32[NM, 6]
+
+
+LUMP_NODES = 5
+LUMP_CLIPNODES = 9
+LUMP_LEAFS = 10
+
+
+def load_collision(data: bytes) -> BspCollision:
+    (version,) = struct.unpack_from("<i", data, 0)
+    bsp2 = data[:4] == b"BSP2"
+    if not bsp2 and version != 29:
+        raise ValueError(f"unsupported BSP version {version}")
+
+    lumps = []
+    for i in range(HEADER_LUMPS):
+        o, l = struct.unpack_from("<ii", data, 4 + i * 8)
+        lumps.append((o, l))
+
+    def lump(i):
+        o, l = lumps[i]
+        return data[o : o + l]
+
+    planes = (
+        np.frombuffer(lump(LUMP_PLANES), "<f4").reshape(-1, 5)[:, :4].copy()
+    )
+
+    # render nodes → hull-0 clipnodes
+    raw = lump(LUMP_NODES)
+    if bsp2:
+        # BSP2 dnode: i32 planenum, i32 children[2], f32 mins/maxs[3],
+        # u32 firstface/numfaces = 44 bytes
+        stride, cfmt = 44, "<iii"
+    else:
+        # BSP29 dnode: i32 planenum, i16 children[2], i16 bounds[6],
+        # u16 firstface/numfaces = 24 bytes
+        stride, cfmt = 24, "<ihh"
+    n_nodes = len(raw) // stride
+    node_plane = np.empty((n_nodes,), np.int64)
+    node_child = np.empty((n_nodes, 2), np.int64)
+    for i in range(n_nodes):
+        pn, c0, c1 = struct.unpack_from(cfmt, raw, i * stride)
+        node_plane[i] = pn
+        node_child[i] = (c0, c1)
+
+    # leaf contents (for hull-0 leaf collapse)
+    raw = lump(LUMP_LEAFS)
+    if bsp2:
+        # i32 contents, i32 visofs, f32 bounds[6], u32 first/num, u8[4]
+        lstride = 44
+    else:
+        # i32 contents, i32 visofs, i16 bounds[6], u16 first/num, u8[4]
+        lstride = 28
+    n_leafs = len(raw) // lstride
+    leaf_contents = np.array(
+        [struct.unpack_from("<i", raw, i * lstride)[0] for i in range(n_leafs)],
+        np.int64,
+    )
+
+    hull0 = np.empty((n_nodes, 3), np.int64)
+    for i in range(n_nodes):
+        hull0[i, 0] = node_plane[i]
+        for k in range(2):
+            c = node_child[i, k]
+            # node children: >= 0 node index, < 0 → leaf -(c+1)
+            hull0[i, 1 + k] = c if c >= 0 else leaf_contents[-1 - c]
+
+    # clipnodes lump (hulls 1-2), children offset past the hull-0 block
+    raw = lump(LUMP_CLIPNODES)
+    if bsp2:
+        cstride, ccfmt = 12, "<iii"
+    else:
+        cstride, ccfmt = 8, "<ihh"
+    n_clip = len(raw) // cstride
+    clip = np.empty((n_clip, 3), np.int64)
+    for i in range(n_clip):
+        pn, c0, c1 = struct.unpack_from(ccfmt, raw, i * cstride)
+        clip[i] = (
+            pn,
+            c0 + n_nodes if c0 >= 0 else c0,
+            c1 + n_nodes if c1 >= 0 else c1,
+        )
+    clipnodes = np.concatenate([hull0, clip]).astype(np.int32)
+
+    # models: headnode[0] = render node (hull0 index unchanged),
+    # headnode[1..2] = clipnode indices (offset)
+    raw = lump(LUMP_MODELS)
+    n_models = len(raw) // 64
+    headnodes = np.zeros((n_models, 3), np.int32)
+    bounds = np.zeros((n_models, 6), np.float32)
+    for i in range(n_models):
+        vals = struct.unpack_from("<9f7i", raw, i * 64)
+        bounds[i, 0:3] = vals[0:3]
+        bounds[i, 3:6] = vals[3:6]
+        h0, h1, h2 = vals[9], vals[10], vals[11]
+        headnodes[i] = (
+            h0,
+            h1 + n_nodes if h1 >= 0 else h1,
+            h2 + n_nodes if h2 >= 0 else h2,
+        )
+    return BspCollision(
+        planes=planes, clipnodes=clipnodes, headnodes=headnodes,
+        bounds=bounds,
+    )

@@ -272,3 +272,96 @@ def test_lightstyle_and_models(host):
     host.spawn(LUMP)
     assert host.model_names[1] == "maps/map.bsp"
     assert host.lightstyle(0) == "m"
+
+
+def build_box_bsp29(half=256.0, height=256.0) -> bytes:
+    """A minimal valid BSP29 blob: the box room's collision data
+    (planes, nodes, leafs, clipnodes, models lumps; others empty)."""
+    import struct
+
+    HEADER_LUMPS = 15
+    LUMP_PLANES, LUMP_NODES, LUMP_CLIPNODES, LUMP_LEAFS, LUMP_MODELS = (
+        1, 5, 9, 10, 14)
+    clips = [
+        ((0, 0, 0), (0, 0, 0)),
+        ((-16, -16, -24), (16, 16, 32)),
+        ((-32, -32, -24), (32, 32, 64)),
+    ]
+    planes = []
+    for cmins, cmaxs in clips:
+        lo = [-half - cmins[0], -half - cmins[1], 0.0 - cmins[2]]
+        hi = [half - cmaxs[0], half - cmaxs[1], height - cmaxs[2]]
+        for i in range(6):
+            axis = i // 2
+            n = [0.0, 0.0, 0.0]
+            n[axis] = 1.0
+            planes.append(n + [lo[axis] if i % 2 == 0 else hi[axis]])
+    plane_data = b"".join(
+        struct.pack("<5f", *p, 0.0) for p in planes
+    )
+    # leafs: 0 = solid, 1 = empty (BSP29 dleaf = 28 bytes)
+    leaf = lambda c: struct.pack("<ii6hHH4B", c, -1, 0, 0, 0, 0, 0, 0, 0, 0,
+                                 0, 0, 0, 0)
+    leaf_data = leaf(-2) + leaf(-1)
+    # hull-0 nodes over planes 0..5 (BSP29 dnode = 24 bytes)
+    nodes = []
+    for i in range(6):
+        inside = i + 1 if i < 5 else -2  # leaf 1 (empty) encoded -(1+1)
+        solid = -1  # leaf 0 encoded -(0+1)
+        c = (inside, solid) if i % 2 == 0 else (solid, inside)
+        nodes.append(struct.pack("<i2h6hHH", i, c[0], c[1],
+                                 0, 0, 0, 0, 0, 0, 0, 0))
+    node_data = b"".join(nodes)
+    # clipnodes for hulls 1/2 over planes 6..11 and 12..17
+    cn = []
+    for hull in range(2):
+        base = hull * 6
+        pbase = 6 + hull * 6
+        for i in range(6):
+            inside = base + i + 1 if i < 5 else -1  # CONTENTS_EMPTY
+            c = (inside, -2) if i % 2 == 0 else (-2, inside)
+            cn.append(struct.pack("<i2h", pbase + i, c[0], c[1]))
+    clip_data = b"".join(cn)
+    model_data = struct.pack(
+        "<9f7i",
+        -half, -half, 0.0, half, half, height, 0.0, 0.0, 0.0,
+        0, 0, 6, 0, 1, 0, 0,
+    )
+    lump_payload = {
+        LUMP_PLANES: plane_data,
+        LUMP_NODES: node_data,
+        LUMP_CLIPNODES: clip_data,
+        LUMP_LEAFS: leaf_data,
+        LUMP_MODELS: model_data,
+    }
+    header_size = 4 + HEADER_LUMPS * 8
+    ofs = header_size
+    dirs, body = [], b""
+    for i in range(HEADER_LUMPS):
+        data = lump_payload.get(i, b"")
+        dirs.append((ofs, len(data)))
+        body += data
+        ofs += len(data)
+    header = struct.pack("<i", 29) + b"".join(
+        struct.pack("<ii", o, l) for o, l in dirs
+    )
+    return header + body
+
+
+def test_bsp_collision_roundtrip():
+    from merian_quake_tpu.models.bsp import load_collision
+
+    col = load_collision(build_box_bsp29())
+    assert col.planes.shape == (18, 4)
+    assert col.clipnodes.shape == (18, 3)
+    assert col.headnodes.tolist() == [[0, 6, 12]]
+
+    h = QuakeHost(max_edicts=64)
+    h.load_progs(build_test_progs())
+    h.load_world(col)
+    h.spawn(LUMP)
+    for _ in range(120):
+        h.frame(1.0 / 60.0)
+    org = h.get_field(1, "origin", vector=True)
+    assert org[2] == pytest.approx(24.0, abs=1.0)
+    assert int(h.get_field(1, "flags")) & FL_ONGROUND
