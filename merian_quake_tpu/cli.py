@@ -63,6 +63,62 @@ def _cmd_preset(args) -> int:
     return 0
 
 
+def _cmd_play(args) -> int:
+    """Live-simulated arena: game host + renderer + HUD, headless.
+
+    The frame loop is the reference's main loop (merian-quake.cpp:
+    273-275) with PNG frames standing in for the swapchain."""
+    import numpy as np
+
+    from .accel.build import build_accel
+    from .game.hud import apply_hud
+    from .game.mod import make_arena
+    from .models.types import RenderConfig
+    from .renderer import init_state, render_frame
+    from .utils.image import save_png
+
+    w, h = (int(v) for v in args.size.split("x"))
+    live = make_arena(dynamic_capacity=1024)
+    cfg = RenderConfig(
+        width=w, height=h, spp=args.spp,
+        max_path_length=args.max_path_length,
+        integrator=args.integrator, denoise=args.denoise,
+    )
+    state = init_state(cfg)
+    dt = 1.0 / 30.0
+    t0 = time.time()
+    out = None
+    for i in range(args.frames):
+        # scripted input: wander toward the room center, then orbit
+        yaw = 20.0 + 1.2 * i
+        scene, uniforms = live.step(dt, forward=180.0, yaw=yaw)
+        accel = build_accel(scene, live.gs.static_bundle.atlas)
+        state, out = render_frame(
+            accel, live.gs.static_bundle.atlas, uniforms, cfg, state
+        )
+        for msg in live.messages:
+            print(f"[game] {msg}")
+        if args.save_all:
+            hud = live.hud_state()
+            ldr = apply_hud(out["ldr"], out["gbuffer"].linear_z, hud)
+            save_png(args.out.replace(".png", f"_{i:04d}.png"),
+                     np.asarray(ldr))
+    dtime = time.time() - t0
+    hud = live.hud_state()
+    ldr = apply_hud(out["ldr"], out["gbuffer"].linear_z, hud)
+    save_png(args.out, np.asarray(ldr))
+    ps = live.host.player_state()
+    print(
+        f"played {args.frames} frames {w}x{h} in {dtime:.2f}s "
+        f"({dtime / max(args.frames, 1) * 1000:.1f} ms/frame incl. compile); "
+        f"game time {live.host.time:.2f}s, player at "
+        f"({ps.origin[0]:.0f}, {ps.origin[1]:.0f}, {ps.origin[2]:.0f}), "
+        f"health {ps.health:.0f}"
+    )
+    print(f"wrote {args.out}")
+    return 0
+
+
 def _cmd_error(args) -> int:
     import numpy as np
 
@@ -162,6 +218,23 @@ def main(argv=None) -> int:
     pg.add_argument("--output-node", default="tonemap")
     pg.add_argument("--out", default="/tmp/mq_graph.png")
     pg.set_defaults(fn=_cmd_graph)
+
+    pl = sub.add_parser(
+        "play", help="run the live-simulated arena mod and render it"
+    )
+    pl.add_argument("--size", default="320x180")
+    pl.add_argument("--spp", type=int, default=1)
+    pl.add_argument("--frames", type=int, default=60)
+    pl.add_argument("--max-path-length", type=int, default=3)
+    pl.add_argument(
+        "--integrator", default="pt", choices=["pt", "mcpg", "restir", "ssmm"]
+    )
+    pl.add_argument("--denoise", action="store_true")
+    pl.add_argument(
+        "--save-all", action="store_true", help="write every frame's PNG"
+    )
+    pl.add_argument("--out", default="/tmp/mq_play.png")
+    pl.set_defaults(fn=_cmd_play)
 
     pe = sub.add_parser("error", help="compare an image against a reference")
     pe.add_argument("image")

@@ -115,6 +115,9 @@ def _load() -> ctypes.CDLL:
     lib.mq_game_get_global.restype = ctypes.c_float
     lib.mq_game_execute.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.mq_game_trace.argtypes = [
+        ctypes.c_void_p, _c_float_p, _c_float_p, _c_float_p, _c_float_p,
+        ctypes.c_int, ctypes.c_int, _c_float_p]
     _LIB = lib
     return lib
 
@@ -168,15 +171,25 @@ class WorldHulls:
     bounds: np.ndarray  # f32[NM, 6] mins+maxs
 
     @staticmethod
-    def box_room(half: float = 256.0, height: float = 256.0) -> "WorldHulls":
-        """A sealed box room: 6 inward planes (tests / procedural maps).
+    def room(
+        mins, maxs, boxes: list[tuple] | None = None
+    ) -> "WorldHulls":
+        """A sealed room with optional solid boxes inside (tests /
+        procedural maps).
 
-        The room interior is empty, everything outside is solid. Hulls
-        1 and 2 get their own plane sets, Minkowski-expanded by the
-        standard clip boxes — exactly what qbsp bakes into the BSP's
-        clipnode hulls.
+        The room interior is empty, everything outside — and inside any
+        of the `boxes` [(bmins, bmaxs), ...] — is solid. Hulls 1 and 2
+        get their own plane sets, Minkowski-expanded by the standard
+        clip boxes — exactly what qbsp bakes into the BSP's clipnode
+        hulls.
         """
         CONTENTS_EMPTY, CONTENTS_SOLID = -1, -2
+        mins = np.asarray(mins, np.float32)
+        maxs = np.asarray(maxs, np.float32)
+        boxes = [
+            (np.asarray(a, np.float32), np.asarray(b, np.float32))
+            for a, b in (boxes or [])
+        ]
         # standard hull clip boxes (world.cc kMins/kMaxs)
         clips = [
             ((0, 0, 0), (0, 0, 0)),
@@ -184,30 +197,56 @@ class WorldHulls:
             ((-32, -32, -24), (32, 32, 64)),
         ]
         planes, cn, headnodes = [], [], []
+
+        def axis_plane(axis, dist):
+            n = [0.0, 0.0, 0.0]
+            n[axis] = 1.0
+            planes.append(n + [float(dist)])
+            return len(planes) - 1
+
         for cmins, cmaxs in clips:
-            lo = [-half - cmins[0], -half - cmins[1], 0.0 - cmins[2]]
-            hi = [half - cmaxs[0], half - cmaxs[1], height - cmaxs[2]]
+            cmins = np.asarray(cmins, np.float32)
+            cmaxs = np.asarray(cmaxs, np.float32)
             base = len(cn)
             headnodes.append(base)
+            # solid-box chains first: in-box → SOLID, escape → next chain
+            for k, (bmins, bmaxs) in enumerate(boxes):
+                blo = bmins - cmaxs  # expanded obstacle
+                bhi = bmaxs - cmins
+                bbase = base + 6 * k
+                escape = bbase + 6  # next box chain or the room chain
+                for i in range(6):
+                    axis = i // 2
+                    p = axis_plane(axis, blo[axis] if i % 2 == 0 else bhi[axis])
+                    inside = bbase + i + 1 if i < 5 else CONTENTS_SOLID
+                    if i % 2 == 0:  # front (x > lo) possibly inside
+                        cn.append([p, inside, escape])
+                    else:  # front (x > hi) definitely outside
+                        cn.append([p, escape, inside])
+            # room shell: inside all 6 planes → EMPTY, outside → SOLID
+            lo = mins - cmins  # shrunken interior
+            hi = maxs - cmaxs
+            rbase = len(cn)
             for i in range(6):
                 axis = i // 2
-                n = [0.0, 0.0, 0.0]
-                n[axis] = 1.0
-                dist = lo[axis] if i % 2 == 0 else hi[axis]
-                planes.append(n + [dist])
-                inside = base + i + 1 if i < 5 else CONTENTS_EMPTY
+                p = axis_plane(axis, lo[axis] if i % 2 == 0 else hi[axis])
+                inside = rbase + i + 1 if i < 5 else CONTENTS_EMPTY
                 if i % 2 == 0:  # lower bound: front (x > dist) = inside
-                    cn.append([base + i, inside, CONTENTS_SOLID])
+                    cn.append([p, inside, CONTENTS_SOLID])
                 else:  # upper bound: behind (x < dist) = inside
-                    cn.append([base + i, CONTENTS_SOLID, inside])
-        bounds = np.array(
-            [[-half, -half, 0.0, half, half, height]], np.float32
-        )
+                    cn.append([p, CONTENTS_SOLID, inside])
+        bounds = np.concatenate([mins, maxs])[None].astype(np.float32)
         return WorldHulls(
             np.array(planes, np.float32),
             np.array(cn, np.int32),
             np.array([headnodes], np.int32),
             bounds,
+        )
+
+    @staticmethod
+    def box_room(half: float = 256.0, height: float = 256.0) -> "WorldHulls":
+        return WorldHulls.room(
+            (-half, -half, 0.0), (half, half, height)
         )
 
 
@@ -299,6 +338,28 @@ class QuakeHost:
     @property
     def time(self) -> float:
         return float(self._lib.mq_game_time(self._h))
+
+    @property
+    def player(self) -> int:
+        """Player edict index (≈ sv_player)."""
+        return int(self._lib.mq_game_player(self._h))
+
+    def trace(self, start, end, mins=(0, 0, 0), maxs=(0, 0, 0),
+              type: int = 0, passedict: int = -1):
+        """Box trace through world + entities (SV_Move equivalent).
+
+        Returns (fraction, endpos f32[3], plane_normal f32[3], ent).
+        """
+        s = np.ascontiguousarray(start, np.float32)
+        e = np.ascontiguousarray(end, np.float32)
+        mn = np.ascontiguousarray(mins, np.float32)
+        mx = np.ascontiguousarray(maxs, np.float32)
+        out = np.zeros((10,), np.float32)
+        self._lib.mq_game_trace(
+            self._h, _fp(s), _fp(mn), _fp(mx), _fp(e), int(type),
+            int(passedict), _fp(out),
+        )
+        return float(out[0]), out[1:4].copy(), out[4:7].copy(), int(out[9])
 
     # ---- extraction ----
     def snapshot(self, max_out: int = 1024) -> EntitySnapshot:

@@ -43,10 +43,16 @@ class Entity:
     # optional movement: origin_fn(time) -> origin
     origin_fn: Callable | None = None
     yaw_fn: Callable | None = None
+    # live-game override: (f0, f1, blend) from the server's .frame field
+    # instead of free-running time (game/live.py sets this per frame)
+    frame_override: tuple | None = None
 
     def pose(self, time: float):
         """Keyframe pair + blend (R_SetupAliasFrame semantics)."""
         nf = self.model.frames.shape[0]
+        if self.frame_override is not None:
+            f0, f1, blend = self.frame_override
+            return min(int(f0), nf - 1), min(int(f1), nf - 1), float(blend)
         if nf <= 1:
             return 0, 0, 0.0
         x = time * self.frame_rate
@@ -60,10 +66,20 @@ class Entity:
             if self.origin_fn
             else self.origin
         )
-        yaw = self.yaw_fn(time) if self.yaw_fn else float(self.angles[1])
-        c, s = math.cos(math.radians(yaw)), math.sin(math.radians(yaw))
-        rot = np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
-        return origin, rot
+        if self.yaw_fn is not None:
+            pitch, yaw, roll = 0.0, float(self.yaw_fn(time)), 0.0
+        else:
+            pitch, yaw, roll = (float(a) for a in self.angles)
+        # quakespasm R_RotateForEntity order: Rz(yaw) Ry(-pitch) Rx(roll)
+        cy, sy = math.cos(math.radians(yaw)), math.sin(math.radians(yaw))
+        cp, sp = math.cos(math.radians(-pitch)), math.sin(math.radians(-pitch))
+        cr, sr = math.cos(math.radians(roll)), math.sin(math.radians(roll))
+        rz = np.asarray([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]], np.float32)
+        if pitch == 0.0 and roll == 0.0:
+            return origin, rz
+        ry = np.asarray([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]], np.float32)
+        rx = np.asarray([[1, 0, 0], [0, cr, -sr], [0, sr, cr]], np.float32)
+        return origin, (rz @ ry @ rx).astype(np.float32)
 
     def world_verts(self, time: float) -> np.ndarray:
         f0, f1, blend = self.pose(time)
