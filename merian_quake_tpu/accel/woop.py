@@ -235,9 +235,10 @@ def _kernel_stream(
 
 
 def _kernel_resident(
-    order_ref, te_ref, rays_ref, w_ref, t0_ref, i0_ref, out_ref, idx_ref,
+    order_ref, te_ref, cb_ref, rays_ref, w_ref, t0_ref, i0_ref, out_ref,
+    idx_ref,
     *, max_visits=None, start_visit=0, simple=False, group=1,
-    anyhit=False,
+    anyhit=False, percull=True,
 ):
     """Per-ray-block sweep with the WHOLE Woop table resident in VMEM.
 
@@ -249,6 +250,16 @@ def _kernel_resident(
     (nc, 8, 3C) table is copied in once by the pipeline (constant index
     map → stays resident across grid steps) and each visit just
     dynamic-slices its cluster — per-visit cost drops to the compute.
+
+    ``percull``: per-ray exact slab reachability gate before each tile.
+    The XLA-side interval cull is conservative over the whole bundle
+    (fat frustums of sorted bounce blocks reach many clusters no single
+    ray can enter before its own best_t); here each visit first slab-
+    tests every ray individually against the cluster AABB with per-ray
+    limit min(best_t, t_max) — ~25 VPU ops on (1, B) rows vs the tile's
+    22-op epilogue on (C, B) — and skips the whole tile when NO ray can
+    reach. Exact: a hit that improves best_t must enter the AABB before
+    the ray's limit, so a skipped tile can never change the result.
     """
     out_ref[0, :] = t0_ref[0, :]
     idx_ref[0, :] = i0_ref[0, :]
@@ -266,6 +277,40 @@ def _kernel_resident(
 
     def cid_at(j):
         return jnp.max(jnp.where(lane == j, order_row, 0))
+
+    if percull:
+        # loop-invariant per-ray slab ingredients (d == 0 clamped to a
+        # tiny signed value: inv stays finite, products overflow to
+        # ±inf, never NaN)
+        o3 = rays_ref[0:3, :]
+        d3 = rays_ref[3:6, :]
+        tiny = jnp.where(d3 >= 0.0, jnp.float32(1e-20), jnp.float32(-1e-20))
+        inv_d = 1.0 / jnp.where(jnp.abs(d3) < 1e-20, tiny, d3)
+        cb = cb_ref[0]  # (8, nc_pad) visit-ordered lo.xyz / hi.xyz
+
+        def cb_at(j, c):
+            return jnp.min(
+                jnp.where(lane == j, cb[c : c + 1, :], jnp.float32(np.inf))
+            )
+
+        def reachable(j):
+            # small slack on the per-ray limit: the tile's committed t
+            # comes from the MXU's reduced-precision matmul and can sit
+            # a little below the exact slab entry — without slack ~1 ppm
+            # of rays lose their boundary-grazing winner (measured)
+            limit = jnp.minimum(out_ref[0:1, :], t_max[None, :])
+            limit = limit * 1.002 + 0.05
+            tn = jnp.zeros_like(limit)
+            tf = limit
+            for c in range(3):
+                t1 = (cb_at(j, c) - o3[c : c + 1, :]) * inv_d[c : c + 1, :]
+                t2 = (cb_at(j, 3 + c) - o3[c : c + 1, :]) * inv_d[c : c + 1, :]
+                tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+                tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+            return jnp.max(jnp.where(tn <= tf, 1.0, 0.0)) > 0.0
+    else:
+        def reachable(j):
+            return True
 
     nc = te_ref.shape[-1] if max_visits is None else min(
         max_visits, te_ref.shape[-1]
@@ -286,19 +331,21 @@ def _kernel_resident(
         for g in range(group):
             jg = j + g
             cid = cid_at(jg)
-            in_range = (jg < nc) & (te_at(jg) <= horizon)
-            if group > 1:
-                @pl.when(in_range)
+            in_range = (jg < nc) & (te_at(jg) <= horizon) if group > 1 \
+                else True
+            gate = in_range & reachable(jg) if percull else in_range
+            if gate is True:
+                _intersect_tile(
+                    rays_ref, w_ref[cid], out_ref, idx_ref, cid,
+                    simple=simple, anyhit=anyhit,
+                )
+            else:
+                @pl.when(gate)
                 def _(cid=cid):
                     _intersect_tile(
                         rays_ref, w_ref[cid], out_ref, idx_ref, cid,
                         simple=simple, anyhit=anyhit,
                     )
-            else:
-                _intersect_tile(
-                    rays_ref, w_ref[cid], out_ref, idx_ref, cid,
-                    simple=simple, anyhit=anyhit,
-                )
         horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
         next_live = (j + group < nc) & (te_at(j + group) <= horizon2)
         return j + group, horizon2, next_live
@@ -463,7 +510,7 @@ def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block):
     jax.jit,
     static_argnames=(
         "ray_block", "chunk", "interpret", "resident", "max_visits",
-        "start_visit", "simple", "group", "anyhit",
+        "start_visit", "simple", "group", "anyhit", "percull",
     ),
 )
 def intersect_woop_packed(
@@ -472,6 +519,7 @@ def intersect_woop_packed(
     interpret: bool = False, resident: bool | None = None,
     init=None, max_visits: int | None = None, start_visit: int = 0,
     simple: bool = False, group: int = 1, anyhit: bool = False,
+    percull: bool = True,
 ):
     n = rays.shape[1]
     t = w.shape[0] // 3
@@ -538,14 +586,29 @@ def intersect_woop_packed(
         # whole table VMEM-resident: (nc, 8, 3C), constant index map →
         # copied in once and reused by every grid step
         w_res = w.T.reshape(8, nc, 3 * chunk).transpose(1, 0, 2)
+        # per-block VISIT-ORDERED cluster bounds (rows: lo.xyz, hi.xyz,
+        # 0, 0) for the in-kernel per-ray reachability gate
+        cb_vals = jnp.concatenate(
+            [
+                jnp.asarray(cluster_lo, jnp.float32).T,
+                jnp.asarray(cluster_hi, jnp.float32).T,
+                jnp.zeros((2, nc), jnp.float32),
+            ],
+            axis=0,
+        )  # (8, nc)
+        cb = jnp.take(cb_vals, order[:, 0, :], axis=1)  # (8, nb, nc_pad)
+        cb = cb.transpose(1, 0, 2)  # (nb, 8, nc_pad)
+        spec_cb = pl.BlockSpec(
+            (1, 8, nc_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        )
         out, idx = pl.pallas_call(
             functools.partial(
                 _kernel_resident,
                 max_visits=max_visits, start_visit=start_visit,
-                simple=simple, group=group, anyhit=anyhit,
+                simple=simple, group=group, anyhit=anyhit, percull=percull,
             ),
             in_specs=[
-                spec_order, spec_te, spec_rays,
+                spec_order, spec_te, spec_cb, spec_rays,
                 pl.BlockSpec(
                     (nc, 8, 3 * chunk), lambda i: (0, 0, 0),
                     memory_space=pltpu.VMEM,
@@ -553,7 +616,7 @@ def intersect_woop_packed(
                 spec_init, spec_init,
             ],
             **common,
-        )(order, te_s, rays, w_res, t0, i0)
+        )(order, te_s, cb, rays, w_res, t0, i0)
         return out, idx
     out, idx = pl.pallas_call(
         functools.partial(

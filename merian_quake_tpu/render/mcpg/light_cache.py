@@ -116,17 +116,17 @@ def lc_update_batch(
     # sanitize non-finite rows BEFORE the cumulative sum (0*inf = NaN)
     irr = jnp.where(mask[:, None], irr, 0.0)
 
+    # sort operands are the per-row aggregation inputs ONLY (irr, count)
+    # plus the original row index: the representative columns (pos,
+    # normal, level, hash) are gathered afterwards at the ≤capacity
+    # segment-end rows — a cap-row gather is ~free while every extra
+    # sort operand pays a full O(M log M) permute pass
+    m = bi.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
     segs, cols = segments.sort_segments(
-        bi,
-        [
-            irr[:, 0], irr[:, 1], irr[:, 2], mf,
-            pos[:, 0], pos[:, 1], pos[:, 2],
-            normal[:, 0], normal[:, 1], normal[:, 2],
-            level,
-            h.astype(jnp.int32),
-        ],
+        bi, [irr[:, 0], irr[:, 1], irr[:, 2], mf, iota]
     )
-    (ix, iy, iz, mf_s, px, py, pz, nx, ny, nz, lvl_s, h_s) = cols
+    (ix, iy, iz, mf_s, idx_s) = cols
 
     cap = int(min(L + 1, cfg.update_cell_capacity))
     comp = segments.compact_indices(segs, cap)
@@ -134,13 +134,24 @@ def lc_update_batch(
     acc = segments.compact_sums(
         comp, jnp.stack([mf_s, ix, iy, iz], axis=1)
     )  # (cap, 4): count + irr sum per touched cell
-    rep = segments.take_compact(
-        comp,
-        jnp.stack([px, py, pz, nx, ny, nz, lvl_s], axis=1),
+    rep_idx = jnp.maximum(segments.take_compact(comp, idx_s), 0)
+    f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    i2f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    # integer lanes: f32 lanes canonicalize NaN payloads / flush
+    # denormals on TPU, which would corrupt the hash bits
+    rep_tab = jnp.concatenate(
+        [
+            f2i(pos), f2i(normal), f2i(level)[:, None],
+            f2i(h)[:, None],
+        ],
+        axis=1,
+    )  # (M, 8) i32 — ONE cap-row gather instead of four
+    rep = jnp.take(rep_tab, rep_idx, axis=0)
+    rep_pos, rep_norm, rep_level = (
+        i2f(rep[:, 0:3]), i2f(rep[:, 3:6]), i2f(rep[:, 6])
     )
-    new_hash = segments.take_compact(comp, h_s).astype(_U32)
+    new_hash = jax.lax.bitcast_convert_type(rep[:, 7], _U32)
     count, sum_irr = acc[:, 0], acc[:, 1:4]
-    rep_pos, rep_norm, rep_level = rep[:, 0:3], rep[:, 3:6], rep[:, 6]
 
     touched = comp.valid & (cell_c < L) & (count > 0.0)
     cell_r = jnp.minimum(cell_c, L - 1)

@@ -126,6 +126,12 @@ def apply_updates(
 
     mf = match.astype(jnp.float32)
 
+    # sort operands are the per-row aggregation inputs ONLY plus the
+    # original row index: winner-only columns (normal, id) are gathered
+    # afterwards at the ≤capacity segment-end rows — every extra sort
+    # operand pays a full O(M log M) permute pass, a cap-row gather is
+    # ~free
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
     segs, cols = segments.sort_segments(
         cells,
         [
@@ -134,13 +140,11 @@ def apply_updates(
             upq.target[:, 0], upq.target[:, 1], upq.target[:, 2],
             upq.pos[:, 0], upq.pos[:, 1], upq.pos[:, 2],
             upq.mv[:, 0], upq.mv[:, 1], upq.mv[:, 2],
-            upq.normal[:, 0], upq.normal[:, 1], upq.normal[:, 2],
-            upq.id.astype(jnp.int32),
+            iota_m,
         ],
         tiebreak=key2,
     )
-    (w_s, m_s, tx, ty, tz, px, py, pz, mvx, mvy, mvz,
-     nx, ny, nz, id_s) = cols
+    (w_s, m_s, tx, ty, tz, px, py, pz, mvx, mvy, mvz, idx_s) = cols
     tgt_s = jnp.stack([tx, ty, tz], axis=1)
     pos_s = jnp.stack([px, py, pz], axis=1)
     mv_s = jnp.stack([mvx, mvy, mvz], axis=1)
@@ -213,14 +217,20 @@ def apply_updates(
     wf = segments.take_compact(
         comp,
         jnp.stack(
-            [w_s, m_s, tx, ty, tz, mvx, mvy, mvz, px, py, pz, nx, ny, nz],
-            axis=1,
+            [w_s, m_s, tx, ty, tz, mvx, mvy, mvz, px, py, pz], axis=1
         ),
-    )  # (cap, 14)
-    win_id_s = segments.take_compact(comp, id_s)
+    )  # (cap, 11)
+    # winner-only columns from the ORIGINAL queue rows (cap-row gather)
+    win_idx = jnp.maximum(segments.take_compact(comp, idx_s), 0)
+    win_tab = jnp.concatenate(
+        [_f2i(upq.normal), upq.id.astype(jnp.int32)[:, None]], axis=1
+    )  # (M, 4) i32
+    win_rows = jnp.take(win_tab, win_idx, axis=0)
+    norm_c = _i2f(win_rows[:, 0:3])
+    win_id_s = win_rows[:, 3]
     w_c, m_c = wf[:, 0], wf[:, 1]
     tgt_c, mv_c = wf[:, 2:5], wf[:, 5:8]
-    pos_c, norm_c = wf[:, 8:11], wf[:, 11:14]
+    pos_c = wf[:, 8:11]
 
     winner_match = m_c > 0.5
     # matched winner → the post-EWA cell state; fresh winner → a new
