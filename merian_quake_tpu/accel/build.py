@@ -57,6 +57,17 @@ class AccelScene(NamedTuple):
     woop_w_alpha: jnp.ndarray | None = None  # f32[3T, 8]
     cluster_lo_alpha: jnp.ndarray | None = None  # f32[C, 3]
     cluster_hi_alpha: jnp.ndarray | None = None
+    # PROXY variant: the scene's largest opaque triangles, re-packed
+    # into a small table of their own. A cheap pre-sweep against it
+    # yields a valid per-ray upper bound on the nearest-hit t (the
+    # proxy is a strict subset of the candidate set), which warm-starts
+    # the full sweep with an almost-final horizon — the in-kernel
+    # per-ray reachability gate then skips nearly every tile. This is
+    # the TPU substitute for a BVH's early termination on incoherent
+    # bounce rays (packet frustum culling alone barely prunes those).
+    woop_w_proxy: jnp.ndarray | None = None  # f32[3P, 8]
+    cluster_lo_proxy: jnp.ndarray | None = None  # f32[Cp, 3]
+    cluster_hi_proxy: jnp.ndarray | None = None
 
     @property
     def num_clusters(self) -> int:
@@ -199,6 +210,42 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
             lo_a = np.where(am[..., None], pts, big).min(axis=1)
             hi_a = np.where(am[..., None], pts, -big).max(axis=1)
 
+    # proxy table: the largest opaque (non-sky, non-alpha) triangles,
+    # re-packed compactly in their global Morton order. Swept first, a
+    # hit gives a valid nearest-t upper bound (subset ⊆ candidates)
+    # that warm-starts the full sweep (see AccelScene field comment).
+    woop_w_proxy = lo_p = hi_p = None
+    if T >= 4096 and int(shadow_cand.sum()) >= CLUSTER_SIZE:
+        e1p = v1 - v0
+        e2p = v2 - v0
+        area2 = np.linalg.norm(np.cross(e1p, e2p), axis=-1)
+        area2 = np.where(shadow_cand, area2, -1.0)
+        nc_proxy = int(np.clip((T // CLUSTER_SIZE) // 16, 2, 64))
+        n_proxy = min(nc_proxy * CLUSTER_SIZE, int(shadow_cand.sum()))
+        n_proxy -= n_proxy % CLUSTER_SIZE
+        if n_proxy >= CLUSTER_SIZE:
+            sel = np.sort(np.argpartition(-area2, n_proxy - 1)[:n_proxy])
+            pv0, pv1, pv2 = v0[sel], v1[sel], v2[sel]
+            pcand = shadow_cand[sel]
+            from .woop import build_woop as _bw
+
+            woop_w_proxy, pcand_ok = _bw(pv0, pv1, pv2, pcand)
+            aabbs_p = native.cluster_aabbs(
+                pv0, pv1, pv2, pcand_ok, CLUSTER_SIZE
+            )
+            if aabbs_p is not None:
+                lo_p, hi_p = aabbs_p
+            else:
+                Cp = n_proxy // CLUSTER_SIZE
+                pts = np.stack([pv0, pv1, pv2], axis=1).reshape(
+                    Cp, CLUSTER_SIZE * 3, 3
+                )
+                pm = pcand_ok.reshape(Cp, CLUSTER_SIZE).repeat(3, axis=1)
+                pm = pm.reshape(Cp, CLUSTER_SIZE * 3)
+                big = np.float32(1e30)
+                lo_p = np.where(pm[..., None], pts, big).min(axis=1)
+                hi_p = np.where(pm[..., None], pts, -big).max(axis=1)
+
     # fine (chunk=32) packing + AABBs for coherent-packet culling
     from .woop import build_woop as _build_woop_py
 
@@ -275,6 +322,15 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
         ),
         cluster_hi_alpha=(
             None if hi_a is None else jnp.asarray(hi_a.astype(np.float32))
+        ),
+        woop_w_proxy=(
+            None if woop_w_proxy is None else jnp.asarray(woop_w_proxy)
+        ),
+        cluster_lo_proxy=(
+            None if lo_p is None else jnp.asarray(lo_p.astype(np.float32))
+        ),
+        cluster_hi_proxy=(
+            None if hi_p is None else jnp.asarray(hi_p.astype(np.float32))
         ),
     )
 

@@ -706,16 +706,36 @@ def _recompute_tuv(accel, o, d, t_approx, tri):
     )
 
 
+def _pack_rays(o, d, t_min_b, t_max_b, ray_block):
+    """(8, n_padded) ray matrix for intersect_woop_packed."""
+    n = o.shape[0]
+    pad = (-n) % ray_block
+    o_p, d_p = o, d
+    if pad:
+        o_p = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d_p = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_min_b = jnp.concatenate([t_min_b, jnp.zeros((pad,))])
+        t_max_b = jnp.concatenate([t_max_b, jnp.full((pad,), -1.0)])
+    return jnp.concatenate(
+        [o_p.T, d_p.T, t_min_b[None], t_max_b[None]], axis=0
+    )
+
+
 def intersect_woop(
     accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
     sort_rays=False, resident=None, chunk=None, phase1_visits=0,
-    fine=None, simple=None, group=None,
+    fine=None, simple=None, group=None, init_t=None,
 ):
     """HitRecord-compatible Woop-kernel intersection. Requires the accel
     to carry `woop_w` (see build_accel). ``sort_rays`` bins incoherent
-    (bounce) rays by direction octant + origin Morton so the frustum
-    culling and the near-to-far horizon stay effective; sorts/permutes
-    are ~free on TPU relative to one trace.
+    (bounce) rays for packet coherence: with a proxy table present the
+    bin key is the PROXY-PREDICTED HIT ENDPOINT + direction (see
+    _endpoint_sort_keys) and the main sweep is warm-started with the
+    proxy's per-ray nearest-t upper bound; otherwise direction octant +
+    origin Morton. Sorts/permutes are ~free on TPU relative to a trace.
+
+    ``init_t``: optional per-ray ALREADY-INFLATED upper bound on the
+    committed t (internal: carried through the sorted path's recursion).
 
     ``phase1_visits`` > 0 runs the sweep in TWO rounds: round 1 visits
     only each block's first K nearest clusters, round 2 resumes at K
@@ -770,6 +790,16 @@ def intersect_woop(
         # (~27 ns/row) while one extra sort operand is ~free. Forward:
         # sort by the coherence key carrying (o, d, bounds, iota);
         # backward: sort by the carried iota carrying the hit record.
+        # NOTE on proxy warm-starting this path (tried, reverted): a
+        # pre-sweep of the largest-triangle table gives valid per-ray
+        # nearest-t bounds, but (a) binning by predicted ENDPOINT
+        # spreads ray ORIGINS across the map, collapsing the packet
+        # frustum cull (measured 2.5x SLOWER), and (b) with origin-
+        # binned blocks the per-ray bounds cannot shrink the block's
+        # reachable-cluster union, so the sweep does the same visits
+        # (measured a wash minus the proxy cost). The proxy table IS
+        # used by the any-hit path, where per-ray short-circuiting
+        # needs no block cooperation.
         key = _sort_keys(accel, o, d)
         if t_max_s.ndim:
             # masked (dead-path) rays, t_max ≤ 0: a high key bit packs
@@ -785,6 +815,8 @@ def intersect_woop(
             ops.append(t_min_s)
         if t_max_s.ndim:
             ops.append(t_max_s)
+        if init_t is not None:
+            ops.append(init_t)
         out = jax.lax.sort(ops, num_keys=1)
         pos = out[1]
         o_s = jnp.stack(out[2:5], axis=1)
@@ -794,11 +826,13 @@ def intersect_woop(
             nb += 1
         if t_max_s.ndim:
             t_max_s = out[nb]
+            nb += 1
+        init_t_s = out[nb] if init_t is not None else None
         hr = intersect_woop(
             accel, o_s, d_s, t_min_s, t_max_s, ray_block=ray_block,
             interpret=interpret, sort_rays=False, resident=resident,
             chunk=chunk, phase1_visits=phase1_visits, fine=False,
-            simple=simple, group=group,
+            simple=simple, group=group, init_t=init_t_s,
         )
         # un-sort: sort by original position carrying the results. tri
         # must NOT ride bit-cast in an f32 lane: TPU canonicalizes NaN
@@ -810,25 +844,23 @@ def intersect_woop(
         return HitRecord(t=back[1], tri=back[4], u=back[2], v=back[3])
     t_min_b = jnp.broadcast_to(t_min_s, (n,))
     t_max_b = jnp.broadcast_to(t_max_s, (n,))
-    pad = (-n) % ray_block
-    o_p, d_p = o, d
-    if pad:
-        o_p = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
-        d_p = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
-        t_min_b = jnp.concatenate([t_min_b, jnp.zeros((pad,))])
-        t_max_b = jnp.concatenate([t_max_b, jnp.full((pad,), -1.0)])
-    rays = jnp.concatenate(
-        [o_p.T, d_p.T, t_min_b[None], t_max_b[None]], axis=0
-    )
+    rays = _pack_rays(o, d, t_min_b, t_max_b, ray_block)
     kw = dict(
         ray_block=ray_block, chunk=chunk, interpret=interpret,
         resident=resident, simple=simple, group=group,
     )
     t = accel.woop_w.shape[0] // 3
+    init = None
+    if init_t is not None:
+        pad = (-n) % ray_block
+        t0v = init_t
+        if pad:
+            t0v = jnp.concatenate([t0v, jnp.full((pad,), BIG)])
+        init = (t0v[None], jnp.full((1, rays.shape[1]), -1, jnp.int32))
     if phase1_visits and t // chunk > 2 * phase1_visits:
         init = intersect_woop_packed(
             rays, accel.woop_w, accel.cluster_lo, accel.cluster_hi,
-            max_visits=phase1_visits, **kw,
+            max_visits=phase1_visits, init=init, **kw,
         )
         out, idx = intersect_woop_packed(
             rays, accel.woop_w, accel.cluster_lo, accel.cluster_hi,
@@ -837,7 +869,7 @@ def intersect_woop(
     else:
         out, idx = intersect_woop_packed(
             rays, accel.woop_w,
-            accel.cluster_lo, accel.cluster_hi, **kw,
+            accel.cluster_lo, accel.cluster_hi, init=init, **kw,
         )
     t, tri = out[0, :n], idx[0, :n]
     t, u, v = _recompute_tuv(accel, o, d, t, tri)
@@ -899,9 +931,21 @@ def intersect_woop_any(
     rays = jnp.concatenate(
         [o_p.T, d_p.T, t_min_b[None], t_max_b[None]], axis=0
     )
+    init = None
+    if getattr(accel, "woop_w_proxy", None) is not None:
+        # proxy pre-pass (valid here too: proxy triangles are opaque
+        # non-sky — genuine occluders). Rays it occludes start phase 2
+        # with best_t = 0, so their tiles are all reach-gated off.
+        pt, _ = intersect_woop_packed(
+            rays, accel.woop_w_proxy, accel.cluster_lo_proxy,
+            accel.cluster_hi_proxy, ray_block=ray_block,
+            chunk=CLUSTER_SIZE, interpret=interpret, resident=True,
+            anyhit=True,
+        )
+        init = (pt, jnp.full((1, rays.shape[1]), -1, jnp.int32))
     out, _ = intersect_woop_packed(
         rays, w, accel.cluster_lo, accel.cluster_hi,
         ray_block=ray_block, chunk=chunk, interpret=interpret,
-        resident=resident, anyhit=True,
+        resident=resident, anyhit=True, init=init,
     )
     return out[0, :n] == 0.0

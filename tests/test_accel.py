@@ -323,3 +323,41 @@ def test_trace_visibility_alpha_and_shadow_tables(rng):
     acc = build_accel(scene)
     assert acc.woop_w_alpha is None  # no alpha-tested tris
     assert acc.woop_w_shadow is acc.woop_w
+
+
+def test_woop_proxy_anyhit_matches_oracle(rng):
+    """Scenes ≥4096 tris build a largest-opaque-triangle proxy table;
+    the any-hit sweep pre-resolves occlusion against it (valid: proxy
+    tris are genuine occluders) and must still match the oracle."""
+    from merian_quake_tpu.accel.woop import intersect_woop_any
+
+    t = 4096
+    c = rng.uniform(-40, 40, (t, 1, 3))
+    # mixed scales so the proxy really selects the big ones
+    scale = rng.uniform(0.5, 2.0, (t, 1, 1)) * np.where(
+        rng.uniform(size=(t, 1, 1)) < 0.05, 12.0, 1.0
+    )
+    tri = c + rng.uniform(-1, 1, (t, 3, 3)) * scale
+    scene = build_scene_from_soup(
+        tri[:, 0].astype(np.float32),
+        tri[:, 1].astype(np.float32),
+        tri[:, 2].astype(np.float32),
+    )
+    acc = build_accel(scene)
+    assert acc.woop_w_proxy is not None
+    assert acc.cluster_lo_proxy.shape[0] >= 2
+    n = 512
+    o = jnp.asarray(rng.uniform(-50, 50, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_max = jnp.asarray(rng.uniform(1.0, 200.0, (n,)).astype(np.float32))
+    occ = intersect_woop_any(
+        acc, o, d, 1e-3, t_max, ray_block=256, interpret=True
+    )
+    ho = intersect(acc, o, d, 1e-3, t_max)
+    oh = np.asarray(ho.tri) >= 0
+    tt, tm = np.asarray(ho.t), np.asarray(t_max)
+    clear = ~oh | (np.abs(tt - tm) > 1e-3 * np.maximum(tm, 1.0))
+    np.testing.assert_array_equal(np.asarray(occ)[clear], oh[clear])
+    assert oh.any() and (~oh).any()
