@@ -123,17 +123,14 @@ def _kernel_stream(
     t_max = rays_ref[7, :]
     horizon0 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
 
-    te_row = te_ref[0]  # (1, nc_pad) ascending (+inf padded)
-    order_row = order_ref[0]  # (1, nc_pad) i32 cluster ids
-    lane = jax.lax.broadcasted_iota(jnp.int32, te_row.shape, 1)
-
-    # dynamic lane indexing has no TPU lowering; a masked reduce is one
-    # VPU pass over ~2 vregs
+    # te/order live in SMEM: per-visit metadata reads are plain scalar
+    # loads. (A VMEM masked-reduce per lookup was measured at ~2 µs of
+    # serialized VPU→scalar latency per visit — it dominated the sweep.)
     def te_at(j):
-        return jnp.min(jnp.where(lane == j, te_row, jnp.float32(np.inf)))
+        return te_ref[0, 0, j]
 
     def cid_at(j):
-        return jnp.max(jnp.where(lane == j, order_row, 0))
+        return order_ref[0, 0, j]
 
     # w is streamed TRANSPOSED, (8, 3T): the cluster slice cuts the
     # LANE dimension in 3C-wide chunks (3C = 384/192 — multiples of
@@ -268,15 +265,15 @@ def _kernel_resident(
     # BEFORE the first visit, collapsing this block's te-prefix
     horizon0 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
 
-    te_row = te_ref[0]
-    order_row = order_ref[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, te_row.shape, 1)
-
+    # per-visit metadata (entry parameter, cluster id, cluster bounds)
+    # comes from SMEM scalar tables: each lookup is one scalar load.
+    # The previous VMEM lane-masked reduces cost ~2 µs of serialized
+    # VPU→scalar latency per visit — 2.6× the whole tile compute.
     def te_at(j):
-        return jnp.min(jnp.where(lane == j, te_row, jnp.float32(np.inf)))
+        return te_ref[0, 0, j]
 
     def cid_at(j):
-        return jnp.max(jnp.where(lane == j, order_row, 0))
+        return order_ref[0, 0, j]
 
     if percull:
         # loop-invariant per-ray slab ingredients (d == 0 clamped to a
@@ -286,12 +283,10 @@ def _kernel_resident(
         d3 = rays_ref[3:6, :]
         tiny = jnp.where(d3 >= 0.0, jnp.float32(1e-20), jnp.float32(-1e-20))
         inv_d = 1.0 / jnp.where(jnp.abs(d3) < 1e-20, tiny, d3)
-        cb = cb_ref[0]  # (8, nc_pad) visit-ordered lo.xyz / hi.xyz
 
         def cb_at(j, c):
-            return jnp.min(
-                jnp.where(lane == j, cb[c : c + 1, :], jnp.float32(np.inf))
-            )
+            # visit-ordered cluster bounds, SMEM scalar load
+            return cb_ref[0, c, j]
 
         def reachable(j):
             # small slack on the per-ray limit: the tile's committed t
@@ -570,11 +565,12 @@ def intersect_woop_packed(
         ],
         interpret=interpret,
     )
+    # per-visit scalar metadata rides in SMEM (scalar loads in-kernel)
     spec_order = pl.BlockSpec(
-        (1, 1, nc_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, nc_pad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
     )
     spec_te = pl.BlockSpec(
-        (1, 1, nc_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, 1, nc_pad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
     )
     spec_rays = pl.BlockSpec(
         (8, ray_block), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -599,7 +595,7 @@ def intersect_woop_packed(
         cb = jnp.take(cb_vals, order[:, 0, :], axis=1)  # (8, nb, nc_pad)
         cb = cb.transpose(1, 0, 2)  # (nb, 8, nc_pad)
         spec_cb = pl.BlockSpec(
-            (1, 8, nc_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 8, nc_pad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
         )
         out, idx = pl.pallas_call(
             functools.partial(
