@@ -15,6 +15,7 @@ geometry reuses the static order and only refits AABBs (device-side).
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -105,6 +106,50 @@ def _reorder_scene(scene: Scene, perm: np.ndarray) -> Scene:
     return Scene(*[jnp.asarray(np.asarray(a)[perm]) for a in scene])
 
 
+def _median_split_perm(
+    v0: np.ndarray,
+    v1: np.ndarray,
+    v2: np.ndarray,
+    candidate: np.ndarray,
+    valid: np.ndarray,
+    chunk: int = CLUSTER_SIZE,
+) -> np.ndarray:
+    """Cluster-aligned recursive median-split triangle order.
+
+    Top-down BVH-leaf construction (longest-axis median split, snapped
+    to CLUSTER_SIZE multiples so leaves coincide with the kernel's
+    fixed 128-triangle clusters). Compared to Morton chunking this
+    yields clusters with no spatial straddle between space-filling-
+    curve jumps — tighter AABBs, fewer packet visits per ray. Same
+    ranking contract as the Morton path: candidates first, then
+    alpha-only valid triangles, then padding.
+    """
+    cent = ((v0 + v1 + v2) / 3.0).astype(np.float32)
+    rank = np.where(candidate, 0, np.where(valid, 1, 2))
+    cand_idx = np.nonzero(rank == 0)[0]
+    out: list[np.ndarray] = []
+
+    def split(idx: np.ndarray) -> None:
+        if idx.shape[0] <= chunk:
+            out.append(idx)
+            return
+        c = cent[idx]
+        ax = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        srt = idx[np.argsort(c[:, ax], kind="stable")]
+        n = idx.shape[0]
+        # split at the CLUSTER_SIZE multiple nearest the median, keeping
+        # both halves non-empty (the global tail may be a short leaf)
+        k = int(round((n // 2) / chunk)) * chunk
+        k = max(chunk, min(((n - 1) // chunk) * chunk, k))
+        split(srt[:k])
+        split(srt[k:])
+
+    split(cand_idx)
+    return np.concatenate(
+        out + [np.nonzero(rank == 1)[0], np.nonzero(rank == 2)[0]]
+    )
+
+
 def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
     v0 = np.asarray(scene.v0)
     v1 = np.asarray(scene.v1)
@@ -129,10 +174,14 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
         flag_opaque | override_accept | ~has_override
     )
 
-    # --- Morton order over candidate centroids (native fast path) ---
+    # --- triangle order: cluster-aligned median split (default) or
+    # Morton chunks (MQ_CLUSTER=morton; native fast path) ---
     from ..utils import native
 
-    perm = native.morton_perm(v0, v1, v2, candidate, valid)
+    if os.environ.get("MQ_CLUSTER", "median") == "median":
+        perm = _median_split_perm(v0, v1, v2, candidate, valid)
+    else:
+        perm = native.morton_perm(v0, v1, v2, candidate, valid)
     if perm is None:
         cent = (v0 + v1 + v2) / 3.0
         lo = cent.min(axis=0)
