@@ -105,7 +105,7 @@ def bake_candidacy(w: np.ndarray, cand: np.ndarray) -> np.ndarray:
 def _kernel_stream(
     order_ref, te_ref, rays_ref, w_hbm, t0_ref, i0_ref, out_ref, idx_ref,
     wbuf, sems, *, max_visits=None, start_visit=0, simple=False,
-    anyhit=False,
+    anyhit=False, fastdiv=False,
 ):
     """Per-ray-block streaming sweep (one grid step per ray block).
 
@@ -199,7 +199,7 @@ def _kernel_stream(
                 wait_copy(slot)
                 _intersect_tile(
                     rays_ref, wbuf[slot], out_ref, idx_ref, cid_at(j),
-                    simple=simple, anyhit=anyhit,
+                    simple=simple, anyhit=anyhit, fastdiv=fastdiv,
                 )
 
         horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
@@ -235,7 +235,7 @@ def _kernel_resident(
     order_ref, te_ref, cb_ref, rays_ref, w_ref, t0_ref, i0_ref, out_ref,
     idx_ref,
     *, max_visits=None, start_visit=0, simple=False, group=1,
-    anyhit=False, percull=True,
+    anyhit=False, percull=True, fastdiv=False,
 ):
     """Per-ray-block sweep with the WHOLE Woop table resident in VMEM.
 
@@ -332,14 +332,14 @@ def _kernel_resident(
             if gate is True:
                 _intersect_tile(
                     rays_ref, w_ref[cid], out_ref, idx_ref, cid,
-                    simple=simple, anyhit=anyhit,
+                    simple=simple, anyhit=anyhit, fastdiv=fastdiv,
                 )
             else:
                 @pl.when(gate)
                 def _(cid=cid):
                     _intersect_tile(
                         rays_ref, w_ref[cid], out_ref, idx_ref, cid,
-                        simple=simple, anyhit=anyhit,
+                        simple=simple, anyhit=anyhit, fastdiv=fastdiv,
                     )
         horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
         next_live = (j + group < nc) & (te_at(j + group) <= horizon2)
@@ -351,8 +351,24 @@ def _kernel_resident(
     )
 
 
+def _fast_div(num, den):
+    """num/den via the VPU's approximate reciprocal + 2 Newton steps.
+
+    The tile's per-pair divide is the single most expensive epilogue op
+    (XLA lowers f32 div to a long multi-pass sequence); two Newton
+    refinements of the bf16-accurate hardware reciprocal bring the
+    relative error to ~2^-30 — below f32 ulp for this use (the winner's
+    exact t/u/v are recomputed per ray afterwards anyway).
+    """
+    r = pl.reciprocal(den, approx=True)
+    r = r * (2.0 - den * r)
+    r = r * (2.0 - den * r)
+    return num * r
+
+
 def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id,
-                    simple=False, anyhit=False):
+                    simple=False, anyhit=False, fastdiv=False):
+    div = _fast_div if fastdiv else (lambda n, d: n / d)
     rays = rays_ref[:]  # (8, B)
     # w: (8, 3C) TRANSPOSED row blocks [row0s | row1s | row2s] along
     # lanes, rows 0-3 used
@@ -417,7 +433,7 @@ def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id,
             jnp.minimum(dz - 1e-12, t_max * dz - z0n),
         )
         ok = (m >= 0.0) & (z0n > 0.0)
-        t = z0n / jnp.where(ok, dz, 1.0)
+        t = div(z0n, jnp.where(ok, dz, 1.0))
     else:
         front = dz > 1e-12
         ok = (
@@ -428,7 +444,7 @@ def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id,
             & (z0n > t_min * dz)
             & (z0n <= t_max * dz)
         )
-        t = z0n / jnp.where(front, dz, 1.0)
+        t = div(z0n, jnp.where(front, dz, 1.0))
     t_m = jnp.where(ok, t, BIG)
 
     best_t = jnp.min(t_m, axis=0)
@@ -505,7 +521,7 @@ def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block):
     jax.jit,
     static_argnames=(
         "ray_block", "chunk", "interpret", "resident", "max_visits",
-        "start_visit", "simple", "group", "anyhit", "percull",
+        "start_visit", "simple", "group", "anyhit", "percull", "fastdiv",
     ),
 )
 def intersect_woop_packed(
@@ -514,13 +530,19 @@ def intersect_woop_packed(
     interpret: bool = False, resident: bool | None = None,
     init=None, max_visits: int | None = None, start_visit: int = 0,
     simple: bool = False, group: int = 1, anyhit: bool = False,
-    percull: bool = True,
+    percull: bool = True, fastdiv: bool | None = None,
 ):
     n = rays.shape[1]
     t = w.shape[0] // 3
     nb, nc = n // ray_block, t // chunk
     if resident is None:
         resident = t <= RESIDENT_MAX_TRIS
+    if fastdiv is None:
+        # the approx-reciprocal epilogue is a TPU-only lowering win;
+        # interpret/CPU paths keep the exact divide
+        fastdiv = (not interpret) and jax.default_backend() == "tpu"
+        if os.environ.get("MQ_WOOP_NOFASTDIV"):
+            fastdiv = False
     if init is None:
         t0 = jnp.full((1, n), BIG, jnp.float32)
         i0 = jnp.full((1, n), -1, jnp.int32)
@@ -602,6 +624,7 @@ def intersect_woop_packed(
                 _kernel_resident,
                 max_visits=max_visits, start_visit=start_visit,
                 simple=simple, group=group, anyhit=anyhit, percull=percull,
+                fastdiv=fastdiv,
             ),
             in_specs=[
                 spec_order, spec_te, spec_cb, spec_rays,
@@ -618,7 +641,7 @@ def intersect_woop_packed(
         functools.partial(
             _kernel_stream,
             max_visits=max_visits, start_visit=start_visit, simple=simple,
-            anyhit=anyhit,
+            anyhit=anyhit, fastdiv=fastdiv,
         ),
         in_specs=[
             spec_order, spec_te, spec_rays,

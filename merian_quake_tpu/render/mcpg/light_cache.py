@@ -57,10 +57,15 @@ def _pack_lc(lc: LightCache) -> jnp.ndarray:
 
 
 def _get_level(rng_state, lc: LightCache, pos, normal, level, cfg: MCPGConfig,
-               packed=None):
+               packed=None, dead=None):
     rng_state, buf, h = _lc_cell(rng_state, pos, normal, level, cfg)
     tab = _pack_lc(lc) if packed is None else packed
-    rows = jnp.take(tab, buf.astype(jnp.int32), axis=0)  # (..., 5)
+    idx = buf.astype(jnp.int32)
+    if dead is not None:
+        # dead lanes read row 0 (result discarded by the caller): a
+        # constant address makes the random HBM gather a cached one
+        idx = jnp.where(dead, 0, idx)
+    rows = jnp.take(tab, idx, axis=0)  # (..., 5)
     stored_h = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
     irr = jax.lax.bitcast_convert_type(rows[..., 1:4], jnp.float32)
     n = rows[..., 4]
@@ -69,14 +74,15 @@ def _get_level(rng_state, lc: LightCache, pos, normal, level, cfg: MCPGConfig,
 
 
 def lc_get(rng_state, lc: LightCache, pos, normal, cam_x, cfg: MCPGConfig,
-           packed=None):
+           packed=None, dead=None):
     """light_cache_get: returns (rng, irradiance [..., 3]).
 
     ``packed``: optional _pack_lc(lc) table — pass it when calling in a
-    loop so the (L, 5) pack is built once, not per call."""
+    loop so the (L, 5) pack is built once, not per call. ``dead``:
+    optional bool mask of lanes whose result the caller discards."""
     level = _lc_level(pos, cam_x, cfg)
     rng_state, irr, _ = _get_level(
-        rng_state, lc, pos, normal, level, cfg, packed=packed
+        rng_state, lc, pos, normal, level, cfg, packed=packed, dead=dead
     )
     return rng_state, irr
 

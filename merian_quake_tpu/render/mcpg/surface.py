@@ -159,7 +159,13 @@ def render_mcpg_surface(
                     rng_state, lookup_pos, mcfg
                 )
                 buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
-                st = grids.gather_state_packed(mc_packed, buf)
+                # dead lanes gather row 0: their results are discarded
+                # anyway (everything downstream is gated on ``active``)
+                # and a constant address turns the random HBM access
+                # into a cached one — the gather is the draw's cost
+                st = grids.gather_state_packed(
+                    mc_packed, jnp.where(done, 0, buf)
+                )
                 st_a = grids.finalize_load(st, ahash, uniforms.cl_time)
                 st_s = grids.finalize_load(
                     st,
@@ -227,7 +233,7 @@ def render_mcpg_surface(
 
             rng_state, lc_irr = lc_get(
                 rng_state, lc, res.hit.pos, res.hit.normal, cam_x, mcfg,
-                packed=lc_packed,
+                packed=lc_packed, dead=~active,
             )
             use_inc = has_inc | (
                 (not mcfg.use_light_cache_tail) and config.max_path_length == 2
