@@ -47,11 +47,15 @@ def main():
     state = init_state(config, mcfg)
     uniforms = bundle.uniforms
 
-    # warmup / compile
-    state, outputs = render_frame(
-        accel, bundle.atlas, uniforms, config, state, mcfg
-    )
-    jax.block_until_ready(outputs["ldr"])
+    # warmup / compile: the remote platform runs a freshly compiled
+    # program ~3x slower for its first few calls before settling
+    # (docs/perf_notes_r1b.md pitfall log) — warm up with 3 frames
+    for w in range(3):
+        uniforms = uniforms._replace(frame=jnp.uint32(100 + w))
+        state, outputs = render_frame(
+            accel, bundle.atlas, uniforms, config, state, mcfg
+        )
+        _ = float(outputs["ldr"].ravel()[0])
 
     n_frames = 4
     t0 = time.perf_counter()
@@ -60,7 +64,9 @@ def main():
         state, outputs = render_frame(
             accel, bundle.atlas, uniforms, config, state, mcfg
         )
-    jax.block_until_ready(outputs["ldr"])
+    # real device->host transfer: block_until_ready does not reliably
+    # wait on the remote platform (docs/perf_notes_r1b.md)
+    _ = float(outputs["ldr"].ravel()[0])
     dt = (time.perf_counter() - t0) / n_frames
 
     # ray segments per frame: 1 primary + spp × (mpl - 1) bounce rays

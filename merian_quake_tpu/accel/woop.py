@@ -235,7 +235,7 @@ def _kernel_resident(
     order_ref, te_ref, cb_ref, rays_ref, w_ref, t0_ref, i0_ref, out_ref,
     idx_ref,
     *, max_visits=None, start_visit=0, simple=False, group=1,
-    anyhit=False, percull=True, fastdiv=False,
+    anyhit=False, percull=True, fastdiv=False, subgate=1,
 ):
     """Per-ray-block sweep with the WHOLE Woop table resident in VMEM.
 
@@ -288,7 +288,7 @@ def _kernel_resident(
             # visit-ordered cluster bounds, SMEM scalar load
             return cb_ref[0, c, j]
 
-        def reachable(j):
+        def reach_row(j):
             # small slack on the per-ray limit: the tile's committed t
             # comes from the MXU's reduced-precision matmul and can sit
             # a little below the exact slab entry — without slack ~1 ppm
@@ -302,7 +302,10 @@ def _kernel_resident(
                 t2 = (cb_at(j, 3 + c) - o3[c : c + 1, :]) * inv_d[c : c + 1, :]
                 tn = jnp.maximum(tn, jnp.minimum(t1, t2))
                 tf = jnp.minimum(tf, jnp.maximum(t1, t2))
-            return jnp.max(jnp.where(tn <= tf, 1.0, 0.0)) > 0.0
+            return jnp.where(tn <= tf, 1.0, 0.0)  # (1, B)
+
+        def reachable(j):
+            return jnp.max(reach_row(j)) > 0.0
     else:
         def reachable(j):
             return True
@@ -328,19 +331,44 @@ def _kernel_resident(
             cid = cid_at(jg)
             in_range = (jg < nc) & (te_at(jg) <= horizon) if group > 1 \
                 else True
-            gate = in_range & reachable(jg) if percull else in_range
-            if gate is True:
-                _intersect_tile(
-                    rays_ref, w_ref[cid], out_ref, idx_ref, cid,
-                    simple=simple, anyhit=anyhit, fastdiv=fastdiv,
-                )
+            if percull and subgate > 1:
+                # sub-block gating: the per-ray reach row is already
+                # computed for the whole-tile gate; splitting the tile
+                # into ``subgate`` column slices and gating each on its
+                # own any-reach skips the matmul+epilogue for ray
+                # sub-ranges no ray of which can improve its hit
+                # (measured: only ~70% of 512-sub-blocks of a reachable
+                # tile are themselves reachable on sorted bounce rays)
+                row = reach_row(jg)
+                bsz = row.shape[1]
+                sz = bsz // subgate
+                for s2 in range(subgate):
+                    sub_any = jnp.max(row[0, s2 * sz:(s2 + 1) * sz]) > 0.0
+                    gate = sub_any if in_range is True else (
+                        in_range & sub_any
+                    )
+
+                    @pl.when(gate)
+                    def _(cid=cid, s2=s2):
+                        _intersect_tile(
+                            rays_ref, w_ref[cid], out_ref, idx_ref, cid,
+                            simple=simple, anyhit=anyhit, fastdiv=fastdiv,
+                            col0=s2 * sz, ncol=sz,
+                        )
             else:
-                @pl.when(gate)
-                def _(cid=cid):
+                gate = in_range & reachable(jg) if percull else in_range
+                if gate is True:
                     _intersect_tile(
                         rays_ref, w_ref[cid], out_ref, idx_ref, cid,
                         simple=simple, anyhit=anyhit, fastdiv=fastdiv,
                     )
+                else:
+                    @pl.when(gate)
+                    def _(cid=cid):
+                        _intersect_tile(
+                            rays_ref, w_ref[cid], out_ref, idx_ref, cid,
+                            simple=simple, anyhit=anyhit, fastdiv=fastdiv,
+                        )
         horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
         next_live = (j + group < nc) & (te_at(j + group) <= horizon2)
         return j + group, horizon2, next_live
@@ -367,9 +395,13 @@ def _fast_div(num, den):
 
 
 def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id,
-                    simple=False, anyhit=False, fastdiv=False):
+                    simple=False, anyhit=False, fastdiv=False,
+                    col0=0, ncol=None):
     div = _fast_div if fastdiv else (lambda n, d: n / d)
-    rays = rays_ref[:]  # (8, B)
+    if ncol is None:
+        rays = rays_ref[:]  # (8, B)
+    else:
+        rays = rays_ref[:, col0:col0 + ncol]  # (8, ncol) sub-block
     # w: (8, 3C) TRANSPOSED row blocks [row0s | row1s | row2s] along
     # lanes, rows 0-3 used
     t_min, t_max = rays[6:7], rays[7:8]  # (1, B)
@@ -418,7 +450,12 @@ def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id,
             ),
         )
         occluded = jnp.max(m, axis=0) >= 0.0  # (B,) any pair hit
-        out_ref[0, :] = jnp.where(occluded, 0.0, out_ref[0, :])
+        if ncol is None:
+            out_ref[0, :] = jnp.where(occluded, 0.0, out_ref[0, :])
+        else:
+            out_ref[0, col0:col0 + ncol] = jnp.where(
+                occluded, 0.0, out_ref[0, col0:col0 + ncol]
+            )
         return
     if simple:
         # static-zero t_min: a strict z0n > 0 replaces the t_min
@@ -453,10 +490,14 @@ def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id,
     # bits was tried and measured SLOWER than min+argmin — the extra
     # bitcast/mask passes over the (C, B) tile outweigh the saving)
 
-    better = best_t < out_ref[0, :]
-    out_ref[0, :] = jnp.where(better, best_t, out_ref[0, :])
-    idx_ref[0, :] = jnp.where(
-        better, cluster_id * C + arg.astype(jnp.int32), idx_ref[0, :]
+    if ncol is None:
+        osl = isl = slice(None)
+    else:
+        osl = isl = slice(col0, col0 + ncol)
+    better = best_t < out_ref[0, osl]
+    out_ref[0, osl] = jnp.where(better, best_t, out_ref[0, osl])
+    idx_ref[0, isl] = jnp.where(
+        better, cluster_id * C + arg.astype(jnp.int32), idx_ref[0, isl]
     )
 
 
@@ -522,6 +563,7 @@ def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block):
     static_argnames=(
         "ray_block", "chunk", "interpret", "resident", "max_visits",
         "start_visit", "simple", "group", "anyhit", "percull", "fastdiv",
+        "subgate",
     ),
 )
 def intersect_woop_packed(
@@ -530,7 +572,7 @@ def intersect_woop_packed(
     interpret: bool = False, resident: bool | None = None,
     init=None, max_visits: int | None = None, start_visit: int = 0,
     simple: bool = False, group: int = 1, anyhit: bool = False,
-    percull: bool = True, fastdiv: bool | None = None,
+    percull: bool = True, fastdiv: bool | None = None, subgate: int = 1,
 ):
     n = rays.shape[1]
     t = w.shape[0] // 3
@@ -624,7 +666,7 @@ def intersect_woop_packed(
                 _kernel_resident,
                 max_visits=max_visits, start_visit=start_visit,
                 simple=simple, group=group, anyhit=anyhit, percull=percull,
-                fastdiv=fastdiv,
+                fastdiv=fastdiv, subgate=subgate,
             ),
             in_specs=[
                 spec_order, spec_te, spec_cb, spec_rays,
@@ -743,7 +785,7 @@ def _pack_rays(o, d, t_min_b, t_max_b, ray_block):
 def intersect_woop(
     accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
     sort_rays=False, resident=None, chunk=None, phase1_visits=0,
-    fine=None, simple=None, group=None, init_t=None,
+    fine=None, simple=None, group=None, init_t=None, subgate=None,
 ):
     """HitRecord-compatible Woop-kernel intersection. Requires the accel
     to carry `woop_w` (see build_accel). ``sort_rays`` bins incoherent
@@ -766,6 +808,12 @@ def intersect_woop(
     from .intersect import HitRecord
 
     n = o.shape[0]
+    if os.environ.get("MQ_WOOP_RB"):
+        # perf-anatomy knob: override the ray-block size
+        ray_block = int(os.environ["MQ_WOOP_RB"])
+    if os.environ.get("MQ_TRACE_NOSORT"):
+        # perf-anatomy knob: skip the coherence sort entirely
+        sort_rays = False
     if simple is None:
         # a static ZERO t_min compiles the lean epilogue (the strict
         # z0n > 0 replaces the t_min compare and the hit conjunction
@@ -774,6 +822,8 @@ def intersect_woop(
         # qualifies; only the alpha re-trace's traced t_min stays
         # general.
         simple = isinstance(t_min, (int, float)) and float(t_min) == 0.0
+    if subgate is None:
+        subgate = int(os.environ.get("MQ_WOOP_SUBGATE", "1"))
     if group is None:
         # grouped visits amortize the while-loop's fixed scalar cost
         # over G tiles, at G-coarse exit granularity — measured a wash
@@ -851,7 +901,7 @@ def intersect_woop(
             accel, o_s, d_s, t_min_s, t_max_s, ray_block=ray_block,
             interpret=interpret, sort_rays=False, resident=resident,
             chunk=chunk, phase1_visits=phase1_visits, fine=False,
-            simple=simple, group=group, init_t=init_t_s,
+            simple=simple, group=group, init_t=init_t_s, subgate=subgate,
         )
         # un-sort: sort by original position carrying the results. tri
         # must NOT ride bit-cast in an f32 lane: TPU canonicalizes NaN
@@ -866,7 +916,7 @@ def intersect_woop(
     rays = _pack_rays(o, d, t_min_b, t_max_b, ray_block)
     kw = dict(
         ray_block=ray_block, chunk=chunk, interpret=interpret,
-        resident=resident, simple=simple, group=group,
+        resident=resident, simple=simple, group=group, subgate=subgate,
     )
     t = accel.woop_w.shape[0] // 3
     init = None

@@ -48,6 +48,16 @@ class MCPGConfig(NamedTuple):
     # (grid.h:23-35). 2^19 covers a 1080p frame's touched-cell count
     # with wide margin (≤ pixels × bounces, heavily shared).
     update_cell_capacity: int = 1 << 19
+    # per-frame budget of live MC update SAMPLES. The raw queue is
+    # pixels × spp × bounces rows but only ~15% pass the Metropolis
+    # accept gate (measured on chip), so one cheap 2-op sort compacts
+    # the queue to this prefix and every downstream M-row sort/gather
+    # runs at capacity instead of queue size. Overflow rows drop, like
+    # the reference's full per-cell queues.
+    update_queue_capacity: int = 1 << 21
+    # fast-recovery zero requests per frame (measured ~500/frame; these
+    # ride the same compaction sort as the update samples)
+    zero_queue_capacity: int = 1 << 16
     lc_max_n: int = 128
     lc_min_alpha: float = 0.01
     # vMF sharpness cap. The reference lets kappa run to the fp32 limit

@@ -73,20 +73,62 @@ def apply_updates(
     upq = result.updates
     M = upq.w.shape[0]
 
-    # per-sample rng streams for the replay phase
-    rs = rng_ops.seed_pixel(
-        jnp.arange(M, dtype=_U32), 0, uniforms.frame, rng_key
-    )
+    # ---- 1. prefix compaction: ONE 2-op sort serves BOTH queues ----
+    # The raw queue is every path vertex but only ~15% of rows pass the
+    # accept gate (and ~0% are zero requests) — measured on chip. A
+    # combined key packs live update rows below a dead sentinel and
+    # zero requests above it, so after one cheap [key, iota] sort the
+    # live updates are a static PREFIX and the zero requests a static
+    # SUFFIX; every downstream sort/gather then runs at capacity rows.
+    # Overflow drops, like the reference's full per-cell queues.
+    zoff = jnp.int32(S + 1)
+    key = jnp.where(
+        upq.mask,
+        upq.cell,
+        jnp.where(
+            result.zeros.mask, zoff + result.zeros.cell, jnp.int32(S)
+        ),
+    ).astype(jnp.int32)
+    iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
+    ks, ps = jax.lax.sort([key, iota_m], num_keys=1)
 
-    # ---- 1. fast-recovery zeroing (mcpg.comp:175-178) ----
-    # compact the zeroed cells with one single-key sort before the
-    # scatter (an M-row scatter serializes, a capacity-row one is ~free;
-    # duplicate cells write the same 0.0 — benign)
-    zcap = int(min(S + 1, mcfg.update_cell_capacity))
-    zsort = jax.lax.sort(
-        [jnp.where(result.zeros.mask, result.zeros.cell, S)], num_keys=1
-    )[0][:zcap]
-    mc = mc._replace(f=mc.f.at[zsort, 3].set(0.0, mode="drop"))
+    # ---- 1a. fast-recovery zeroing (mcpg.comp:175-178) from the
+    # suffix (duplicate cells write the same 0.0 — benign) ----
+    cap_z = int(min(M, mcfg.zero_queue_capacity))
+    kz = ks[-cap_z:]
+    zcells = jnp.where(kz > S, kz - zoff, S)
+    mc = mc._replace(f=mc.f.at[zcells, 3].set(0.0, mode="drop"))
+
+    # ---- 1b. compacted update rows from the prefix ----
+    cap_u = int(min(M, mcfg.update_queue_capacity))
+    ku = ks[:cap_u]
+    pu = ps[:cap_u]
+    live_u = ku < S
+    # ONE packed (M, 14) i32 gather at capacity rows (integer lanes:
+    # f32 lanes canonicalize NaN payloads / flush denormals on TPU)
+    qtab = jnp.concatenate(
+        [
+            _f2i(upq.w)[:, None],
+            _f2i(upq.target),
+            _f2i(upq.mv),
+            _f2i(upq.pos),
+            _f2i(upq.normal),
+            upq.id.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )
+    qr = jnp.take(qtab, jnp.where(live_u, pu, 0), axis=0)  # (cap_u, 14)
+    w_u = _i2f(qr[:, 0])
+    tgt_u = _i2f(qr[:, 1:4])
+    mv_u = _i2f(qr[:, 4:7])
+    pos_u = _i2f(qr[:, 7:10])
+    norm_u = _i2f(qr[:, 10:13])
+    id_u = qr[:, 13].astype(_U32)
+    cells_u = jnp.where(live_u, ku, S)
+
+    # per-sample rng streams for the replay phase, seeded by the
+    # ORIGINAL queue row index (compaction-invariant streams)
+    rs = rng_ops.seed_pixel(pu.astype(_U32), 0, uniforms.frame, rng_key)
 
     # ---- 2. light cache ----
     lcq = result.lc_samples
@@ -104,43 +146,42 @@ def apply_updates(
         mcfg,
     )
 
-    # ---- 3. MC chain replay: pre-sort per-sample quantities ----
-    cells = jnp.where(upq.mask, upq.cell, S).astype(jnp.int32)
-    # narrow 2-column incumbent peek (id, sum_w) — M-row gathers from a
-    # SMALL table are the one fast gather shape on TPU (~4 ns/row)
+    # ---- 3. MC chain replay on the compacted rows ----
+    # narrow 2-column incumbent peek (id, sum_w) — row gathers from a
+    # packed table are the fast gather shape on TPU
     inc_tab = jnp.stack(
         [mc.i[:, 0], jax.lax.bitcast_convert_type(mc.f[:, 3], jnp.int32)],
         axis=1,
     )  # (S, 2) i32
-    inc = jnp.take(inc_tab, jnp.minimum(cells, S - 1), axis=0)  # (M, 2)
+    inc = jnp.take(inc_tab, jnp.minimum(cells_u, S - 1), axis=0)  # (cap_u, 2)
     inc_id = inc[:, 0].astype(_U32)
     inc_sum_w = _i2f(inc[:, 1])
-    match = (inc_id == upq.id) & upq.mask
+    match = (inc_id == id_u) & live_u
 
     # reservoir race key (winner = min); sorted DESC via negation so the
     # winner is the segment-end row
     rs, u_race = rng_ops.uniform(rs)
-    cand_w = jnp.where(match, inc_sum_w, upq.w)
+    cand_w = jnp.where(match, inc_sum_w, w_u)
     race = -jnp.log(jnp.maximum(u_race, 1e-12)) / jnp.maximum(cand_w, 1e-20)
-    key2 = jnp.where(upq.mask, -race, -_BIGF)
+    key2 = jnp.where(live_u, -race, -_BIGF)
 
     mf = match.astype(jnp.float32)
 
     # sort operands are the per-row aggregation inputs ONLY plus the
-    # original row index: winner-only columns (normal, id) are gathered
+    # compacted row index: winner-only columns (normal, id) are gathered
     # afterwards at the ≤capacity segment-end rows — every extra sort
     # operand pays a full O(M log M) permute pass, a cap-row gather is
     # ~free
-    iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap_u, 1), 0)[:, 0]
     segs, cols = segments.sort_segments(
-        cells,
+        cells_u,
         [
-            upq.w,
+            w_u,
             mf,
-            upq.target[:, 0], upq.target[:, 1], upq.target[:, 2],
-            upq.pos[:, 0], upq.pos[:, 1], upq.pos[:, 2],
-            upq.mv[:, 0], upq.mv[:, 1], upq.mv[:, 2],
-            iota_m,
+            tgt_u[:, 0], tgt_u[:, 1], tgt_u[:, 2],
+            pos_u[:, 0], pos_u[:, 1], pos_u[:, 2],
+            mv_u[:, 0], mv_u[:, 1], mv_u[:, 2],
+            iota_c,
         ],
         tiebreak=key2,
     )
@@ -220,11 +261,11 @@ def apply_updates(
             [w_s, m_s, tx, ty, tz, mvx, mvy, mvz, px, py, pz], axis=1
         ),
     )  # (cap, 11)
-    # winner-only columns from the ORIGINAL queue rows (cap-row gather)
+    # winner-only columns from the COMPACTED queue rows (cap-row gather)
     win_idx = jnp.maximum(segments.take_compact(comp, idx_s), 0)
     win_tab = jnp.concatenate(
-        [_f2i(upq.normal), upq.id.astype(jnp.int32)[:, None]], axis=1
-    )  # (M, 4) i32
+        [_f2i(norm_u), id_u.astype(jnp.int32)[:, None]], axis=1
+    )  # (cap_u, 4) i32
     win_rows = jnp.take(win_tab, win_idx, axis=0)
     norm_c = _i2f(win_rows[:, 0:3])
     win_id_s = win_rows[:, 3]
