@@ -501,7 +501,7 @@ def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id,
     )
 
 
-def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block):
+def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block, subdiv: int = 4):
     """Conservative (ray-block × cluster) entry parameter.
 
     Interval slab test over the whole ray bundle (packet-tracing
@@ -518,8 +518,22 @@ def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block):
     interval intersection with [0, t̂] is non-empty, else +inf. This
     captures the frustum correlation axis-aligned reach boxes miss;
     incoherent blocks degrade gracefully toward the dense sweep.
+
+    ``subdiv``: the test runs on ``subdiv`` consecutive SUB-bundles per
+    block and min-reduces their entries. Each sub-bundle's interval
+    boxes are tighter than the fat block frustum, so the min is a
+    LATER (tighter) conservative entry than the whole-block test —
+    strictly fewer visited clusters, still exact (the min over a cover
+    of the block's rays lower-bounds every ray's own entry). The extra
+    XLA-side cost is ~subdiv× of a few ms.
     """
     n = rays.shape[1]
+    if subdiv > 1 and ray_block % subdiv == 0:
+        sub = _cull_t_enter(
+            rays, cluster_lo, cluster_hi, ray_block // subdiv, subdiv=1
+        )  # (nb*subdiv, nc)
+        nb = n // ray_block
+        return sub.reshape(nb, subdiv, -1).min(axis=1)
     nb = n // ray_block
     r = rays.reshape(8, nb, ray_block)
     o_lo = r[0:3].min(axis=2).T[:, None]  # (nb, 1, 3)

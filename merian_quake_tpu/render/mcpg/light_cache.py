@@ -126,13 +126,31 @@ def lc_update_batch(
     # plus the original row index: the representative columns (pos,
     # normal, level, hash) are gathered afterwards at the ≤capacity
     # segment-end rows — a cap-row gather is ~free while every extra
-    # sort operand pays a full O(M log M) permute pass
+    # sort operand pays a full O(M log M) permute pass. The irradiance
+    # + count ride as f16 PAIRS in two i32 lanes (each operand costs a
+    # full permute pass; the reference stores light-cache irradiance as
+    # fp16 anyway, grid.h:37-46, so in-flight f16 loses nothing)
+    def _pack2(a, b):
+        u16 = lambda x: jax.lax.bitcast_convert_type(
+            jnp.clip(x, 0.0, 6e4).astype(jnp.float16), jnp.uint16
+        ).astype(jnp.uint32)
+        return (u16(a) | (u16(b) << jnp.uint32(16))).astype(jnp.int32)
+
+    def _unpack2(p):
+        p = p.astype(jnp.uint32)
+        f16 = lambda x: jax.lax.bitcast_convert_type(
+            x.astype(jnp.uint16), jnp.float16
+        ).astype(jnp.float32)
+        return f16(p & jnp.uint32(0xFFFF)), f16(p >> jnp.uint32(16))
+
     m = bi.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
     segs, cols = segments.sort_segments(
-        bi, [irr[:, 0], irr[:, 1], irr[:, 2], mf, iota]
+        bi, [_pack2(irr[:, 0], irr[:, 1]), _pack2(irr[:, 2], mf), iota]
     )
-    (ix, iy, iz, mf_s, idx_s) = cols
+    ix, iy = _unpack2(cols[0])
+    iz, mf_s = _unpack2(cols[1])
+    idx_s = cols[2]
 
     cap = int(min(L + 1, cfg.update_cell_capacity))
     comp = segments.compact_indices(segs, cap)

@@ -75,37 +75,42 @@ def apply_updates(
 
     # ---- 1. prefix compaction: ONE 2-op sort serves BOTH queues ----
     # The raw queue is every path vertex but only ~15% of rows pass the
-    # accept gate (and ~0% are zero requests) — measured on chip. A
-    # combined key packs live update rows below a dead sentinel and
-    # zero requests above it, so after one cheap [key, iota] sort the
-    # live updates are a static PREFIX and the zero requests a static
-    # SUFFIX; every downstream sort/gather then runs at capacity rows.
-    # Overflow drops, like the reference's full per-cell queues.
-    zoff = jnp.int32(S + 1)
-    key = jnp.where(
+    # accept gate (and ~0% are zero requests) — measured on chip. The
+    # sort key is the liveness CLASS only (0 live update, 1 dead, 2
+    # zero request), NOT the cell: lax.sort is stable, so within each
+    # class the carried row indices stay ASCENDING and the capacity-row
+    # table gather below is MONOTONE — a 2M-row random gather from the
+    # (M, 15) table costs ~90 ms on chip while the monotone one streams
+    # (~10 ms); the cell ordering this used to provide was redone by
+    # the replay's (cell, race) sort anyway. Live updates become a
+    # static PREFIX and zero requests a static SUFFIX; every downstream
+    # sort/gather runs at capacity rows. Overflow drops, like the
+    # reference's full per-cell queues.
+    cls = jnp.where(
         upq.mask,
-        upq.cell,
-        jnp.where(
-            result.zeros.mask, zoff + result.zeros.cell, jnp.int32(S)
-        ),
-    ).astype(jnp.int32)
+        jnp.int32(0),
+        jnp.where(result.zeros.mask, jnp.int32(2), jnp.int32(1)),
+    )
     iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
-    ks, ps = jax.lax.sort([key, iota_m], num_keys=1)
+    ks, ps = jax.lax.sort([cls, iota_m], num_keys=1)
 
     # ---- 1a. fast-recovery zeroing (mcpg.comp:175-178) from the
     # suffix (duplicate cells write the same 0.0 — benign) ----
     cap_z = int(min(M, mcfg.zero_queue_capacity))
-    kz = ks[-cap_z:]
-    zcells = jnp.where(kz > S, kz - zoff, S)
+    pz = ps[-cap_z:]
+    is_zero = ks[-cap_z:] == 2
+    zcells = jnp.where(
+        is_zero, jnp.take(result.zeros.cell, pz), jnp.int32(S)
+    )
     mc = mc._replace(f=mc.f.at[zcells, 3].set(0.0, mode="drop"))
 
     # ---- 1b. compacted update rows from the prefix ----
     cap_u = int(min(M, mcfg.update_queue_capacity))
-    ku = ks[:cap_u]
     pu = ps[:cap_u]
-    live_u = ku < S
-    # ONE packed (M, 14) i32 gather at capacity rows (integer lanes:
-    # f32 lanes canonicalize NaN payloads / flush denormals on TPU)
+    # ONE packed (M, 15) i32 gather at capacity rows, MONOTONE by
+    # construction (integer lanes: f32 lanes canonicalize NaN payloads
+    # / flush denormals on TPU). Dead rows carry the sentinel cell so
+    # liveness survives the gather.
     qtab = jnp.concatenate(
         [
             _f2i(upq.w)[:, None],
@@ -114,17 +119,19 @@ def apply_updates(
             _f2i(upq.pos),
             _f2i(upq.normal),
             upq.id.astype(jnp.int32)[:, None],
+            jnp.where(upq.mask, upq.cell, jnp.int32(S))[:, None],
         ],
         axis=1,
     )
-    qr = jnp.take(qtab, jnp.where(live_u, pu, 0), axis=0)  # (cap_u, 14)
+    qr = jnp.take(qtab, pu, axis=0)  # (cap_u, 15)
     w_u = _i2f(qr[:, 0])
     tgt_u = _i2f(qr[:, 1:4])
     mv_u = _i2f(qr[:, 4:7])
     pos_u = _i2f(qr[:, 7:10])
     norm_u = _i2f(qr[:, 10:13])
     id_u = qr[:, 13].astype(_U32)
-    cells_u = jnp.where(live_u, ku, S)
+    cells_u = qr[:, 14]
+    live_u = cells_u < S
 
     # per-sample rng streams for the replay phase, seeded by the
     # ORIGINAL queue row index (compaction-invariant streams)
