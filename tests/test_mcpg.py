@@ -206,3 +206,45 @@ def test_fast_recovery_zeroes_state():
     uni = default_uniforms()
     st2 = apply_updates(jnp.uint32(1), st, res, uni, CFG)
     assert float(st2.mc.sum_w[10]) == 0.0
+
+
+def test_apply_updates_mixed_queue_and_overflow_drop():
+    """Compaction keeps the EARLIEST live rows when the queue overflows
+    capacity, zero requests ride the suffix, dead rows are ignored."""
+    cfg = CFG._replace(update_queue_capacity=8, zero_queue_capacity=4)
+    st = init_mcpg_state(cfg)
+    mc = st.mc._replace(f=st.mc.f.at[33, 3].set(9.0))
+    st = st._replace(mc=mc)
+    uni = default_uniforms(cl_time=1.0)
+    m = 32
+    pos = jnp.broadcast_to(jnp.asarray([50.0, 10.0, 5.0]), (m, 3))
+    nrm = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (m, 3))
+    tgt = jnp.broadcast_to(jnp.asarray([50.0, 10.0, 105.0]), (m, 3))
+    # 12 live rows (> capacity 8), interleaved with dead rows; one zero
+    live = (jnp.arange(m) % 2 == 0) & (jnp.arange(m) < 24)
+    zeros = ZeroQueue(
+        cell=jnp.full((m,), 33, jnp.int32),
+        mask=(jnp.arange(m) == 25),
+    )
+    upq = UpdateQueue(
+        cell=jnp.arange(m, dtype=jnp.int32),
+        id=jnp.full((m,), 7, jnp.uint32),
+        w=jnp.full((m,), 2.0),
+        target=tgt,
+        mv=jnp.zeros((m, 3)),
+        pos=pos,
+        normal=nrm,
+        mask=live,
+    )
+    res = SurfaceResult(
+        irradiance=jnp.zeros((1, 1, 4)),
+        updates=upq,
+        lc_samples=LCQueue(pos=pos, normal=nrm, irr=jnp.zeros((m, 3)),
+                           mask=jnp.zeros((m,), bool)),
+        zeros=zeros,
+    )
+    st2 = apply_updates(jnp.uint32(3), st, res, uni, cfg)
+    # the zero request landed despite live-row overflow
+    assert float(st2.mc.sum_w[33]) == 0.0
+    # chains were created from the surviving prefix rows
+    assert (np.asarray(st2.mc.sum_w) > 0).sum() >= 1
