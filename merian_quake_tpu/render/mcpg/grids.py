@@ -162,30 +162,47 @@ def gather_state(mc: MCStates, idx) -> StateSample:
     )
 
 
-def pack_states(mc: MCStates) -> jnp.ndarray:
-    """One (S, 12) i32 view of the state table so repeated guide draws
-    pay ONE gather each instead of two (f32 lanes ride bit-cast in i32
-    lanes, which never canonicalize; the reverse view only re-exposes
-    genuine f32 values, so denormal flushing is a no-op in practice)."""
+def pack_states_draw(mc: MCStates, cl_time) -> jnp.ndarray:
+    """(S, 8) i32 GUIDE-DRAW table with the temporal target reprojection
+    (mc.glsl:94, w_tgt += sum_w·(cl_time−T)·mv) PRE-APPLIED over the
+    whole table once per frame instead of per gathered row per draw:
+    the K×segments guide draws then gather 8 columns instead of 12 and
+    skip the per-lane reprojection FMA. Rows that a load later finds
+    invalid (hash mismatch / hemisphere) keep the reprojected w_tgt —
+    harmless: finalize zeroes their sum_w, so they carry zero reservoir
+    score and zero MIS weight. Columns: [w_tgt(3), sum_w, w_cos (f32
+    bits), id, N, hash]."""
+    w_tgt = (
+        mc.f[:, 0:3]
+        + (mc.f[:, 3] * (cl_time - mc.f[:, 8]))[:, None] * mc.f[:, 5:8]
+    )
     return jnp.concatenate(
-        [jax.lax.bitcast_convert_type(mc.f, jnp.int32), mc.i], axis=1
+        [
+            jax.lax.bitcast_convert_type(w_tgt, jnp.int32),
+            jax.lax.bitcast_convert_type(mc.f[:, 3:5], jnp.int32),
+            mc.i,
+        ],
+        axis=1,
     )
 
 
-def gather_state_packed(packed: jnp.ndarray, idx) -> StateSample:
-    """gather_state against a pack_states table — single gather."""
+def gather_state_packed_draw(packed: jnp.ndarray, idx) -> StateSample:
+    """gather against a pack_states_draw table. mv/T come back ZERO, so
+    finalize_load's reprojection is a structural no-op (already applied
+    table-side); the winner threads id/N/sum_w/w_cos/w_tgt onward —
+    exactly the fields the update/fast-recovery paths read."""
     g = jnp.take(packed, idx.astype(jnp.int32), axis=0)
-    gf = jax.lax.bitcast_convert_type(g[..., 0:9], jnp.float32)
-    gi = g[..., 9:12]
+    gf = jax.lax.bitcast_convert_type(g[..., 0:5], jnp.float32)
+    z3 = jnp.zeros(gf.shape[:-1] + (3,))
     return StateSample(
-        id=gi[..., 0].astype(jnp.uint32),
+        id=g[..., 5].astype(jnp.uint32),
         w_tgt=gf[..., 0:3],
         sum_w=gf[..., 3],
         w_cos=gf[..., 4],
-        mv=gf[..., 5:8],
-        T=gf[..., 8],
-        N=gi[..., 1],
-        hash=gi[..., 2].astype(jnp.uint32),
+        mv=z3,
+        T=jnp.zeros(gf.shape[:-1]),
+        N=g[..., 6],
+        hash=g[..., 7].astype(jnp.uint32),
     )
 
 

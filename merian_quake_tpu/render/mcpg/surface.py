@@ -16,6 +16,7 @@ bit-identical to the reference — only distribution-equivalent.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -116,9 +117,10 @@ def render_mcpg_surface(
         jnp.uint32(config.seed) ^ (samp * jnp.uint32(0x9E3779B9)),
     )
     first_spp = samp == 0
-    # one (S, 12) packed table: each of the K×segments guide draws pays
-    # a single gather instead of two
-    mc_packed = grids.pack_states(mc)
+    # one (S, 8) packed draw table (temporal reprojection pre-applied
+    # table-side): each of the K×segments guide draws pays a single
+    # 8-column gather instead of two 12-column ones
+    mc_packed = grids.pack_states_draw(mc, uniforms.cl_time)
     from .light_cache import _pack_lc
 
     lc_packed = _pack_lc(lc)  # one row-gather per lc_get, not three
@@ -144,38 +146,68 @@ def render_mcpg_surface(
             lookup_level = grids.adaptive_target_level(lookup_pos, cam_x, mcfg)
 
             # ---- draw K guide states, reservoir-select by sum_w ----
+            # STRATIFIED grid choice: the reference Bernoulli(p)-picks
+            # adaptive vs static per draw (mcpg.comp:74-111), which on
+            # TPU means computing BOTH grids' cell math + finalize for
+            # every draw (vector selects don't skip work). Here draw
+            # slots are statically assigned — floor(K·p) adaptive,
+            # K−ceil(K·p) static, one Bernoulli(frac) boundary slot —
+            # so all but one draw run ONE grid's math. Draws are
+            # exchangeable in the reservoir and the MIS mixture, and
+            # the expected adaptive count stays exactly K·p.
+            ka_exact = K * mcfg.mc_samples_adaptive_prob
             score_sum = jnp.zeros((ns,))
             mus, kappas, scores = [], [], []
             rng_state, win = grids.new_state(rng_state)
             win_buf = jnp.full((ns,), -1, jnp.int32)
-            for _ in range(K):
-                rng_state, u_grid = rng_ops.uniform(rng_state)
-                adaptive = u_grid < mcfg.mc_samples_adaptive_prob
-                rng_state, abuf, ahash = grids.adaptive_cell(
-                    rng_state, lookup_pos, cur.normal, cam_x, mcfg,
-                    target_level=lookup_level,
-                )
-                rng_state, sbuf, shash = grids.static_cell(
-                    rng_state, lookup_pos, mcfg
-                )
-                buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
+            for k in range(K):
+                if k + 1 <= int(ka_exact):
+                    mode = "adaptive"
+                elif k >= math.ceil(ka_exact):
+                    mode = "static"
+                else:
+                    mode = "mixed"
+                if mode != "static":
+                    rng_state, abuf, ahash = grids.adaptive_cell(
+                        rng_state, lookup_pos, cur.normal, cam_x, mcfg,
+                        target_level=lookup_level,
+                    )
+                if mode != "adaptive":
+                    rng_state, sbuf, shash = grids.static_cell(
+                        rng_state, lookup_pos, mcfg
+                    )
+                if mode == "adaptive":
+                    adaptive = True
+                    buf = abuf.astype(jnp.int32)
+                elif mode == "static":
+                    adaptive = False
+                    buf = sbuf.astype(jnp.int32)
+                else:
+                    frac = ka_exact - int(ka_exact)
+                    rng_state, u_grid = rng_ops.uniform(rng_state)
+                    adaptive = u_grid < frac
+                    buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
                 # dead lanes gather row 0: their results are discarded
                 # anyway (everything downstream is gated on ``active``)
                 # and a constant address turns the random HBM access
                 # into a cached one — the gather is the draw's cost
-                st = grids.gather_state_packed(
+                st = grids.gather_state_packed_draw(
                     mc_packed, jnp.where(done, 0, buf)
                 )
-                st_a = grids.finalize_load(st, ahash, uniforms.cl_time)
-                st_s = grids.finalize_load(
-                    st,
-                    shash,
-                    uniforms.cl_time,
-                    pos=cur.pos,
-                    normal=cur.normal,
-                    hemisphere_check=True,
-                )
-                st = _select_state(adaptive, st_a, st_s)
+                if mode == "adaptive":
+                    st = grids.finalize_load(st, ahash, uniforms.cl_time)
+                elif mode == "static":
+                    st = grids.finalize_load(
+                        st, shash, uniforms.cl_time, pos=cur.pos,
+                        normal=cur.normal, hemisphere_check=True,
+                    )
+                else:
+                    st_a = grids.finalize_load(st, ahash, uniforms.cl_time)
+                    st_s = grids.finalize_load(
+                        st, shash, uniforms.cl_time, pos=cur.pos,
+                        normal=cur.normal, hemisphere_check=True,
+                    )
+                    st = _select_state(adaptive, st_a, st_s)
                 score_sum = score_sum + st.sum_w
                 rng_state, u_res = rng_ops.uniform(rng_state)
                 take = u_res < st.sum_w / score_sum  # NaN-compare false
