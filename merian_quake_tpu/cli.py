@@ -210,12 +210,14 @@ def main(argv=None) -> int:
     pp.set_defaults(fn=_cmd_preset)
 
     pg = sub.add_parser("graph", help="run a JSON-configured frame graph")
-    pg.add_argument("--config", default="res/default_graph.json")
+    pg.add_argument("--config", default="res/default_graph.json",
+                    help="res/default_graph.json (flagship MCPG+SVGF "
+                         "pipeline) or res/pt_graph.json (plain PT)")
     pg.add_argument("--scene", default="box")
     pg.add_argument("--size", default="320x180")
     pg.add_argument("--spp", type=int, default=1)
     pg.add_argument("--frames", type=int, default=8)
-    pg.add_argument("--output-node", default="tonemap")
+    pg.add_argument("--output-node", default="hud")
     pg.add_argument("--out", default="/tmp/mq_graph.png")
     pg.set_defaults(fn=_cmd_graph)
 

@@ -182,7 +182,11 @@ class SSMMNode(Node):
 @register_node_type
 class AccumulateNode(Node):
     """Temporal accumulation w/ MV reprojection + firefly filter
-    (merian Accumulate, default_config.json:404-427)."""
+    (merian Accumulate, default_config.json:404-427).
+
+    ``mode: "plain"`` uses the cumulative 1/N average without
+    reprojection (renderer.frame_core's accumulate); a None src (e.g. a
+    disabled volume path) passes None through."""
 
     TYPE = "accumulate"
 
@@ -197,18 +201,34 @@ class AccumulateNode(Node):
         return {
             "history": jnp.zeros((H, W, 4)),
             "hist_len": jnp.zeros((H, W)),
+            "iteration": jnp.zeros((), jnp.int32),
         }
 
     def process(self, ctx, state, src, mv=None):
+        if src is None:
+            return state, {"out": None}
         alpha = float(self.props.get("alpha", 0.0))
         firefly = float(self.props.get("firefly_k", 0.0))
+        if self.props.get("mode", "reproject") == "plain":
+            from ..post.accumulate import accumulate as accumulate_plain
+
+            out = accumulate_plain(
+                state["history"], src, state["iteration"], alpha=alpha
+            )
+            new_state = dict(state)
+            new_state["history"] = out
+            new_state["iteration"] = state["iteration"] + 1
+            return new_state, {"out": out}
         if mv is None:
             mv = jnp.zeros(src.shape[:2] + (2,))
         out, n = accumulate_reprojected(
             state["history"], state["hist_len"], src, mv,
             alpha=alpha, firefly_k=firefly,
         )
-        return {"history": out, "hist_len": n}, {"out": out}
+        new_state = dict(state)
+        new_state.update(history=out, hist_len=n,
+                         iteration=state["iteration"] + 1)
+        return new_state, {"out": out}
 
 
 @register_node_type
@@ -249,9 +269,10 @@ class AddNode(Node):
         return ["out"]
 
     def process(self, ctx, state, a, b, c=None):
-        out = a[..., :3] + b[..., :3]
-        if c is not None:
-            out = out + c[..., :3]
+        terms = [x for x in (a, b, c) if x is not None]
+        out = terms[0][..., :3]
+        for x in terms[1:]:
+            out = out + x[..., :3]
         return state, {"out": out}
 
 
@@ -359,14 +380,193 @@ class ImageWriteNode(Node):
 
         count = state["count"]
         path = self.props.get("path", "")
-        every = int(self.props.get("every", 1))
-        if path and count % every == 0:
+        trigger = self.props.get("trigger", "every")
+        if trigger == "pow2":
+            # power-of-2 iteration trigger (reference HDR reference-render
+            # workflow, default_config.json:536-567): frames 1, 2, 4, 8...
+            due = count > 0 and (count & (count - 1)) == 0
+        else:
+            due = count % int(self.props.get("every", 1)) == 0
+        if path and due:
             p = path.format(i=count)
             if p.endswith(".pfm"):
                 save_pfm(p, np.asarray(src))
             else:
                 save_png(p, np.asarray(src))
         return {"count": count + 1}, {"out": src}
+
+
+@register_node_type
+class HudNode(Node):
+    """Game HUD compositor (≈ merian::QuakeHud, src/hud/hud.comp).
+
+    ``hud`` is the per-frame HudState pushed through ``$frame`` by the
+    app shell (cli play); without one the node passes the image through
+    (headless reference renders)."""
+
+    TYPE = "hud"
+
+    def inputs(self):
+        return [
+            InputSpec("src"),
+            InputSpec("linear_z", optional=True),
+            InputSpec("hud", optional=True),
+        ]
+
+    def outputs(self):
+        return ["out"]
+
+    def process(self, ctx, state, src, linear_z=None, hud=None):
+        if hud is None:
+            return state, {"out": src}
+        from ..game.hud import apply_hud
+
+        if linear_z is None:
+            linear_z = jnp.full(src.shape[:2], 1e4)
+        return state, {"out": apply_hud(src[..., :3], linear_z, hud)}
+
+
+@register_node_type
+class ColorNode(Node):
+    """Constant-color image source (merian Color node — the reference's
+    'one' node feeds an all-ones albedo to the volume denoiser)."""
+
+    TYPE = "color"
+
+    def outputs(self):
+        return ["out"]
+
+    def process(self, ctx, state, **kw):
+        H, W = ctx.config.height, ctx.config.width
+        color = self.props.get("color", [1.0, 1.0, 1.0, 1.0])
+        img = jnp.broadcast_to(
+            jnp.asarray(color, jnp.float32), (H, W, len(color))
+        )
+        return state, {"out": img}
+
+
+def _blue_noise_texture(size: int = 64, channels: int = 4, seed: int = 1337):
+    """Deterministic blue-noise via spectral shaping: white noise is
+    re-weighted by |f| in Fourier space and rank-normalized. Stands in
+    for the reference's bundled LDR_RGBA PNG (no redistributable assets
+    in this environment)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    chans = []
+    fy = np.fft.fftfreq(size)[:, None]
+    fx = np.fft.fftfreq(size)[None, :]
+    w = np.sqrt(fx * fx + fy * fy)
+    for _ in range(channels):
+        x = rng.random((size, size))
+        shaped = np.real(np.fft.ifft2(np.fft.fft2(x) * w))
+        ranks = shaped.ravel().argsort().argsort().reshape(size, size)
+        chans.append((ranks + 0.5) / (size * size))
+    return np.stack(chans, axis=-1).astype(np.float32)
+
+
+@register_node_type
+class LDRImageNode(Node):
+    """LDR image loader (merian LDR Image; the reference loads a blue-
+    noise PNG, default_config.json:464-471). A missing/unset path
+    yields a generated blue-noise texture of ``size``."""
+
+    TYPE = "ldr_image"
+
+    def outputs(self):
+        return ["out"]
+
+    def init_state(self, ctx):
+        import os
+
+        path = self.props.get("path", "")
+        if path and os.path.exists(path):
+            from ..utils.image import load_png
+
+            img = load_png(path).astype("float32") / 255.0
+        else:
+            img = _blue_noise_texture(int(self.props.get("size", 64)))
+        return {"image": jnp.asarray(img)}
+
+    def process(self, ctx, state, **kw):
+        return state, {"out": state["image"]}
+
+
+def flagship_graph_config() -> dict:
+    """The full reference default pipeline as a graph config
+    (/root/reference/res/default_config.json:2-372): MCPG renderer +
+    volume accumulate + SVGF denoiser + add(volume, filtered, direct
+    emission) + auto-exposure + tonemap + TAA + FXAA + HUD, with
+    power-of-2-triggered HDR/beauty image writers (paths empty =
+    disabled, like the reference's trigger config) and the unconnected
+    blue-noise loader / constant-color nodes the reference config also
+    carries. The denoise chain reproduces renderer.frame_core's
+    denoise path exactly (tested in tests/test_graph.py)."""
+    return {
+        "nodes": {
+            "gbuffer": {"type": "gbuffer"},
+            "renderer": {"type": "render_markovchain"},
+            "accum": {"type": "accumulate", "properties": {"mode": "plain"}},
+            "accum_albedo": {
+                "type": "accumulate", "properties": {"mode": "plain"}
+            },
+            "accum_direct": {
+                "type": "accumulate", "properties": {"mode": "plain"}
+            },
+            "volume_accum": {
+                "type": "accumulate", "properties": {"mode": "plain"}
+            },
+            "denoiser": {"type": "svgf", "properties": {"iterations": 5}},
+            "add": {"type": "add"},
+            "exposure": {"type": "exposure"},
+            "tonemap": {"type": "tonemap"},
+            "taa": {"type": "taa"},
+            "fxaa": {"type": "fxaa"},
+            "hud": {"type": "hud"},
+            "one": {"type": "color",
+                    "properties": {"color": [1.0, 1.0, 1.0, 1.0]}},
+            "blue_noise": {"type": "ldr_image", "properties": {"size": 64}},
+            "beauty_write": {
+                "type": "image_write",
+                "properties": {"path": "", "trigger": "pow2"},
+            },
+            "hdr_write": {
+                "type": "image_write",
+                "properties": {"path": "", "trigger": "pow2"},
+            },
+        },
+        "connections": [
+            ["$frame", "uniforms", "gbuffer", "uniforms"],
+            ["$frame", "uniforms", "renderer", "uniforms"],
+            ["gbuffer", "gbuffer", "renderer", "gbuffer"],
+            # accumulated raw outputs (frame_core state parity)
+            ["renderer", "irradiance", "accum", "src"],
+            ["gbuffer", "albedo", "accum_albedo", "src"],
+            ["gbuffer", "irradiance", "accum_direct", "src"],
+            ["renderer", "volume", "volume_accum", "src"],
+            # denoise chain (frame_core denoise path)
+            ["renderer", "irradiance", "denoiser", "irradiance"],
+            ["gbuffer", "albedo", "denoiser", "albedo"],
+            ["gbuffer", "mv", "denoiser", "mv"],
+            ["gbuffer", "normal", "denoiser", "normal"],
+            ["gbuffer", "linear_z", "denoiser", "linear_z"],
+            ["gbuffer", "z_grad", "denoiser", "z_grad"],
+            ["denoiser", "out", "add", "a"],
+            ["gbuffer", "irradiance", "add", "b"],
+            ["volume_accum", "out", "add", "c"],
+            ["add", "out", "exposure", "src"],
+            ["exposure", "out", "tonemap", "src"],
+            ["tonemap", "out", "taa", "src"],
+            ["gbuffer", "mv", "taa", "mv"],
+            ["taa", "out", "fxaa", "src"],
+            ["fxaa", "out", "hud", "src"],
+            ["gbuffer", "linear_z", "hud", "linear_z"],
+            ["$frame", "hud", "hud", "hud"],
+            # writers (reference: beauty taps fxaa, HDR taps denoiser)
+            ["fxaa", "out", "beauty_write", "src"],
+            ["add", "out", "hdr_write", "src"],
+        ],
+    }
 
 
 def default_graph_config(renderer_type: str = "render_pt") -> dict:

@@ -127,6 +127,98 @@ def test_graph_matches_handwired_renderer():
     )
 
 
+def test_flagship_graph_matches_handwired_denoise_path():
+    """The flagship default graph (MCPG + SVGF + add + exposure +
+    tonemap + TAA + FXAA + HUD passthrough) must reproduce
+    renderer.frame_core's denoise path exactly
+    (/root/reference/res/default_config.json topology)."""
+    from merian_quake_tpu.graph.nodes import flagship_graph_config
+    from merian_quake_tpu.render.mcpg import MCPGConfig
+
+    bundle = cornell_box()
+    mcfg = MCPGConfig(
+        mc_adaptive_size=1 << 10, mc_static_size=1 << 8, lc_size=1 << 10
+    )
+    config = RenderConfig(
+        width=48, height=32, spp=1, max_path_length=3,
+        integrator="mcpg", denoise=True,
+    )
+    accel = build_accel(bundle.scene, bundle.atlas)
+    ctx = GraphContext(
+        accel=accel, atlas=bundle.atlas, config=config, mcpg_config=mcfg
+    )
+    g = Graph.from_config(flagship_graph_config(), ctx)
+    gstate = g.init_state()
+
+    # compare against the EAGER frame_core: the graph is bit-identical
+    # to it (the jitted variant differs by XLA fusion reassociation,
+    # which FXAA's discrete edge branches then amplify locally)
+    from merian_quake_tpu.renderer import frame_core
+
+    fstate = init_state(config, mcfg)
+    uniforms = bundle.uniforms
+    for i in range(3):
+        uniforms = uniforms._replace(frame=jnp.uint32(i))
+        gstate, out = g.run(gstate, {"uniforms": uniforms})
+        fstate, fout = frame_core(
+            accel, bundle.atlas, uniforms, config, fstate, mcpg_config=mcfg
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out[("hud", "out")]), np.asarray(fout["ldr"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out[("add", "out")]), np.asarray(fout["hdr"])
+    )
+
+
+def test_image_write_pow2_trigger(tmp_path):
+    """Power-of-2 iteration writer (default_config.json:536-567)."""
+    import os
+
+    from merian_quake_tpu.graph.nodes import ImageWriteNode
+
+    node = ImageWriteNode(
+        "w", {"path": str(tmp_path / "f_{i}.png"), "trigger": "pow2"}
+    )
+    state = node.init_state(None)
+    img = jnp.zeros((4, 4, 3))
+    for i in range(9):
+        state, _ = node.process(None, state, img)
+    written = sorted(os.listdir(tmp_path))
+    assert written == ["f_1.png", "f_2.png", "f_4.png", "f_8.png"], written
+
+
+def test_hud_color_bluenoise_nodes():
+    from merian_quake_tpu.game.hud import HudState
+    from merian_quake_tpu.graph.nodes import (
+        ColorNode, HudNode, LDRImageNode,
+    )
+
+    cfg = RenderConfig(width=32, height=16)
+    ctx = GraphContext(accel=None, atlas=None, config=cfg)
+    color = ColorNode("one", {"color": [1.0, 0.5, 0.25, 1.0]})
+    _, out = color.process(ctx, None)
+    assert out["out"].shape == (16, 32, 4)
+    np.testing.assert_allclose(np.asarray(out["out"][0, 0]), [1.0, 0.5, 0.25, 1.0])
+
+    bn = LDRImageNode("blue_noise", {"size": 32})
+    st = bn.init_state(ctx)
+    _, out = bn.process(ctx, st)
+    noise = np.asarray(out["out"])
+    assert noise.shape == (32, 32, 4)
+    # rank-normalized: every channel exactly covers (0, 1)
+    assert abs(noise.mean() - 0.5) < 1e-3
+
+    hud = HudNode("hud", {})
+    src = jnp.ones((16, 32, 3)) * 0.5
+    _, out = hud.process(ctx, None, src, None, None)
+    np.testing.assert_allclose(np.asarray(out["out"]), 0.5)  # passthrough
+    _, out = hud.process(
+        ctx, None, src, jnp.full((16, 32), 100.0), HudState(health=50.0)
+    )
+    assert not np.allclose(np.asarray(out["out"]), 0.5)  # bars drawn
+
+
 def test_compiled_graph_matches_eager():
     bundle = cornell_box()
     config = RenderConfig(width=48, height=32, spp=1, max_path_length=2)
