@@ -46,6 +46,32 @@ def _cmd_render(args) -> int:
     else:
         save_png(args.out, ldr)
     print(f"wrote {args.out}")
+    if args.debug is not None:
+        import jax.numpy as jnp
+
+        uniforms = bundle.uniforms._replace(
+            frame=jnp.uint32(max(args.frames - 1, 0))
+        )
+        if args.integrator == "mcpg":
+            from .render.mcpg import MCPGConfig
+            from .render.mcpg.debug import DEBUG_VIEWS, render_mcpg_debug
+
+            img = render_mcpg_debug(
+                args.debug, uniforms, config, MCPGConfig(), state.mcpg,
+                outputs["gbuffer"], outputs["irradiance"],
+            )
+        elif args.integrator == "restir":
+            from .render.restir.debug import DEBUG_VIEWS, render_restir_debug
+
+            img = render_restir_debug(
+                args.debug, config, state.restir, outputs["gbuffer"]
+            )
+        else:
+            print("--debug requires --integrator mcpg or restir")
+            return 2
+        dbg_path = args.out.replace(".png", f"_debug{args.debug}.png")
+        save_png(dbg_path, np.clip(np.asarray(img), 0.0, 1.0))
+        print(f"wrote {dbg_path} ({DEBUG_VIEWS[args.debug]})")
     return 0
 
 
@@ -137,6 +163,8 @@ def _cmd_error(args) -> int:
 
 
 def _cmd_graph(args) -> int:
+    import os
+
     import numpy as np
     import jax.numpy as jnp
 
@@ -155,7 +183,10 @@ def _cmd_graph(args) -> int:
     )
     accel = build_accel(bundle.scene, bundle.atlas)
     ctx = GraphContext(accel=accel, atlas=bundle.atlas, config=config)
-    g = Graph.from_config(args.config, ctx)
+    # env override, like the reference's MERIAN_QUAKE_CONFIG_PATH
+    # (configuration.hpp:8-31)
+    cfg_path = os.environ.get("MQ_GRAPH_CONFIG", args.config)
+    g = Graph.from_config(cfg_path, ctx)
     state = g.init_state()
     uniforms = bundle.uniforms
     out = None
@@ -164,7 +195,7 @@ def _cmd_graph(args) -> int:
         state, out = g.run(state, {"uniforms": uniforms})
     final = out[(args.output_node, "out")]
     save_png(args.out, np.asarray(final))
-    print(f"ran graph {args.config} for {args.frames} frames -> {args.out}")
+    print(f"ran graph {cfg_path} for {args.frames} frames -> {args.out}")
     return 0
 
 
@@ -201,6 +232,11 @@ def main(argv=None) -> int:
     pr.add_argument("--integrator", default="pt", choices=["pt", "mcpg", "restir", "ssmm"])
     pr.add_argument("--denoise", action="store_true", help="SVGF+TAA+FXAA")
     pr.add_argument("--seed", type=int, default=1337)
+    pr.add_argument(
+        "--debug", type=int, default=None, metavar="N",
+        help="also write a debug view PNG: mcpg 0-8 (mcpg.comp:212-277), "
+             "restir 0-4 (reservoir state)",
+    )
     pr.add_argument("--out", default="/tmp/mq_tpu_render.png")
     pr.set_defaults(fn=_cmd_render)
     pp = sub.add_parser("preset", help="run a tracked benchmark config")

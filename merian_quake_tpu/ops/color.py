@@ -27,6 +27,27 @@ def ldr_to_hdr(color: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(color, 0.0)) * 2.0 * l / (1.0 - l)
 
 
+def oklch_to_rgb(lch: jnp.ndarray) -> jnp.ndarray:
+    """OKLCh [..., 3] (L, C, h in radians) → linear sRGB [..., 3].
+
+    Equivalent of merian-shaders colors_oklch.glsl (used by the MCPG
+    grid debug view, mcpg.comp:237-241). Ottosson's OKLab transform.
+    """
+    L = lch[..., 0]
+    C = lch[..., 1]
+    h = lch[..., 2]
+    a = C * jnp.cos(h)
+    b = C * jnp.sin(h)
+    l_ = L + 0.3963377774 * a + 0.2158037573 * b
+    m_ = L - 0.1055613458 * a - 0.0638541728 * b
+    s_ = L - 0.0894841775 * a - 1.2914855480 * b
+    l3, m3, s3 = l_ ** 3, m_ ** 3, s_ ** 3
+    r = 4.0767416621 * l3 - 3.3077115913 * m3 + 0.2309699292 * s3
+    g = -1.2684380046 * l3 + 2.6097574011 * m3 - 0.3413193965 * s3
+    bb = -0.0041960863 * l3 - 0.7034186147 * m3 + 1.7076147010 * s3
+    return jnp.clip(jnp.stack([r, g, bb], axis=-1), 0.0, 1.0)
+
+
 def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
     c = jnp.clip(c, 0.0, 1.0)
     return jnp.where(c <= 0.04045, c / 12.92, jnp.power((c + 0.055) / 1.055, 2.4))
