@@ -170,11 +170,15 @@ def pack_states_draw(mc: MCStates, cl_time) -> jnp.ndarray:
     skip the per-lane reprojection FMA. Rows that a load later finds
     invalid (hash mismatch / hemisphere) keep the reprojected w_tgt —
     harmless: finalize zeroes their sum_w, so they carry zero reservoir
-    score and zero MIS weight. Columns: [w_tgt(3), sum_w, w_cos (f32
-    bits), id, N, hash]."""
+    score and zero MIS weight. Tombstoned rows (sum_w < 0) are NOT
+    reprojected (the clamp below), matching the reference's load order
+    where finalize zeroes sum_w before the reprojection FMA
+    (mc.glsl:123-135). Columns: [w_tgt(3), sum_w, w_cos (f32 bits), id,
+    N, hash]."""
     w_tgt = (
         mc.f[:, 0:3]
-        + (mc.f[:, 3] * (cl_time - mc.f[:, 8]))[:, None] * mc.f[:, 5:8]
+        + (jnp.maximum(mc.f[:, 3], 0.0) * (cl_time - mc.f[:, 8]))[:, None]
+        * mc.f[:, 5:8]
     )
     return jnp.concatenate(
         [
@@ -233,7 +237,16 @@ def finalize_load(
     hemisphere_check: bool = False,
 ) -> StateSample:
     """Collision/validity reset + temporal target reprojection
-    (mc_adaptive_finalize_load / mc_static_finalize_load)."""
+    (mc_adaptive_finalize_load / mc_static_finalize_load).
+
+    Documented deviation vs mc.glsl:123-135 when fed a
+    ``pack_states_draw`` table (whose reprojection is pre-applied): the
+    static-grid hemisphere check evaluates the direction toward the
+    REPROJECTED w_tgt, and hash-mismatch rows keep the reprojected
+    w_tgt (the reference leaves both un-reprojected). Harmless: those
+    rows carry sum_w = 0 → zero reservoir score and zero MIS weight —
+    only a deterministic tie-break difference for moving states near
+    the hemisphere boundary."""
     invalid = (s.sum_w < 0.0) | (s.hash != expected_hash)
     if hemisphere_check:
         invalid = invalid | (linalg.dot(normal, state_dir(s, pos)) <= 0.0)

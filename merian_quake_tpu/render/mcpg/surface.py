@@ -155,6 +155,17 @@ def render_mcpg_surface(
             # so all but one draw run ONE grid's math. Draws are
             # exchangeable in the reservoir and the MIS mixture, and
             # the expected adaptive count stays exactly K·p.
+            # mc_samples_adaptive_prob must be a static Python float:
+            # the slot split below is computed at trace time (a traced
+            # value would raise a ConcretizationTypeError here). It also
+            # fixes the adaptive/static counts (deterministic instead of
+            # the reference's i.i.d. Bernoulli draws) — unbiased (the
+            # MIS pdf uses realized scores) but a variance/correlation
+            # difference to keep in mind when A/B-ing noise vs the
+            # reference.
+            assert isinstance(mcfg.mc_samples_adaptive_prob, float), (
+                "mc_samples_adaptive_prob must be a static float"
+            )
             ka_exact = K * mcfg.mc_samples_adaptive_prob
             score_sum = jnp.zeros((ns,))
             mus, kappas, scores = [], [], []

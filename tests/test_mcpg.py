@@ -66,6 +66,63 @@ def test_finalize_load_collision_reset_and_reprojection():
     np.testing.assert_allclose(np.asarray(out.w_tgt[1]), [10.0, 0, 0])
 
 
+def test_packed_draw_table_roundtrip():
+    """gather_state_packed_draw(pack_states_draw(mc, t)) + finalize
+    must agree with gather_state(mc) + finalize on every field the
+    guided sampler reads, including hash-mismatch and tombstone rows
+    (a column-layout or bitcast regression here would only surface as
+    silent image degradation)."""
+    S = 8
+    rng = np.random.default_rng(7)
+    f = np.zeros((S, 9), np.float32)
+    f[:, 0:3] = rng.normal(size=(S, 3)) * 50.0  # w_tgt
+    f[:, 3] = np.abs(rng.normal(size=S)) + 0.1  # sum_w
+    f[:, 4] = rng.random(S).astype(np.float32)  # w_cos
+    f[:, 5:8] = rng.normal(size=(S, 3))  # mv
+    f[:, 8] = rng.random(S) * 3.0  # T
+    f[3, 3] = -1.0  # tombstone: must NOT be reprojected
+    i = np.zeros((S, 3), np.int32)
+    i[:, 0] = rng.integers(0, 2**31 - 1, S)
+    i[:, 1] = rng.integers(1, 1000, S)
+    i[:, 2] = rng.integers(0, 2**16, S)
+    from merian_quake_tpu.render.mcpg.config import MCStates
+
+    mc = MCStates(f=jnp.asarray(f), i=jnp.asarray(i))
+    t = jnp.float32(5.5)
+    idx = jnp.arange(S, dtype=jnp.int32)
+    hashes = jnp.asarray(i[:, 2].astype(np.uint32))
+    bad_hashes = hashes.at[5].set(hashes[5] ^ 0x1)  # row 5: mismatch
+
+    packed = grids.pack_states_draw(mc, t)
+    a = grids.finalize_load(
+        grids.gather_state_packed_draw(packed, idx), bad_hashes, t
+    )
+    b = grids.finalize_load(grids.gather_state(mc, idx), bad_hashes, t)
+
+    np.testing.assert_array_equal(np.asarray(a.id), np.asarray(b.id))
+    np.testing.assert_array_equal(np.asarray(a.N), np.asarray(b.N))
+    np.testing.assert_array_equal(np.asarray(a.hash), np.asarray(b.hash))
+    np.testing.assert_allclose(
+        np.asarray(a.sum_w), np.asarray(b.sum_w), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(a.w_cos), np.asarray(b.w_cos), rtol=1e-6
+    )
+    # w_tgt: equal on valid rows and the tombstone (clamped, not
+    # reprojected); the hash-mismatch row keeps the pre-applied
+    # reprojection (documented deviation; its sum_w is 0 either way)
+    valid = np.ones(S, bool)
+    valid[5] = False
+    np.testing.assert_allclose(
+        np.asarray(a.w_tgt)[valid], np.asarray(b.w_tgt)[valid], rtol=1e-5
+    )
+    assert float(np.asarray(a.sum_w)[5]) == 0.0
+    assert float(np.asarray(a.sum_w)[3]) == 0.0  # tombstone reset
+    np.testing.assert_allclose(
+        np.asarray(a.w_tgt)[3], f[3, 0:3], rtol=1e-6
+    )  # tombstone un-reprojected in the packed table too
+
+
 def test_vmf_kappa_grows_with_mean_cos():
     def mk(w_cos):
         return grids.StateSample(
