@@ -572,12 +572,54 @@ def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block, subdiv: int = 4):
     return jnp.where(t_enter <= t_exit, t_enter, _INF)
 
 
+def _cull_t_enter_exact(rays, cluster_lo, cluster_hi, ray_block, init_t=None,
+                        chunk_clusters: int = 16):
+    """EXACT (ray-block × cluster) entry parameter.
+
+    Replaces the interval-arithmetic bundle test (_cull_t_enter) for
+    the sorted bounce path: te[b, c] = min over the block's rays of the
+    ray's OWN slab entry into cluster c, where each ray is bounded by
+    its OWN limit min(t_max, init_t)·slack — not the bundle's t̂. A
+    cluster enters a block's visit list only if SOME ray individually
+    reaches it, so fat-frustum conservatism disappears (measured ~3×
+    fewer visits on 1080p bounce populations); the in-kernel horizon
+    early-out and per-visit reach gate then operate on the same
+    (smaller) list. Dead rays (t_max ≤ 0) have negative limits and
+    never contribute. Chunked over clusters to bound the (n, K)
+    intermediate at ~250 MB."""
+    n = rays.shape[1]
+    nb = n // ray_block
+    o = rays[0:3]  # (3, n)
+    d = rays[3:6]
+    tiny = jnp.where(d >= 0.0, jnp.float32(1e-20), jnp.float32(-1e-20))
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, tiny, d)
+    limit = rays[7]
+    if init_t is not None:
+        limit = jnp.minimum(limit, init_t)
+    # same slack as the kernel's per-ray reach gate: the committed t
+    # comes from the MXU's reduced-precision matmul
+    limit = limit * 1.002 + 0.05
+    nc = cluster_lo.shape[0]
+    outs = []
+    for c0 in range(0, nc, chunk_clusters):
+        k = min(chunk_clusters, nc - c0)
+        lo = cluster_lo[c0 : c0 + k].T  # (3, k)
+        hi = cluster_hi[c0 : c0 + k].T
+        t1 = (lo[:, None, :] - o[:, :, None]) * inv_d[:, :, None]
+        t2 = (hi[:, None, :] - o[:, :, None]) * inv_d[:, :, None]
+        tn = jnp.maximum(jnp.minimum(t1, t2).max(axis=0), 0.0)  # (n, k)
+        tf = jnp.minimum(jnp.maximum(t1, t2).min(axis=0), limit[:, None])
+        te = jnp.where(tn <= tf, tn, _INF)
+        outs.append(te.reshape(nb, ray_block, k).min(axis=1))
+    return jnp.concatenate(outs, axis=1)  # (nb, nc)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "ray_block", "chunk", "interpret", "resident", "max_visits",
         "start_visit", "simple", "group", "anyhit", "percull", "fastdiv",
-        "subgate",
+        "subgate", "exact_cull",
     ),
 )
 def intersect_woop_packed(
@@ -587,6 +629,7 @@ def intersect_woop_packed(
     init=None, max_visits: int | None = None, start_visit: int = 0,
     simple: bool = False, group: int = 1, anyhit: bool = False,
     percull: bool = True, fastdiv: bool | None = None, subgate: int = 1,
+    exact_cull: bool = False,
 ):
     n = rays.shape[1]
     t = w.shape[0] // 3
@@ -604,7 +647,13 @@ def intersect_woop_packed(
         i0 = jnp.full((1, n), -1, jnp.int32)
     else:
         t0, i0 = init
-    te = _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block)
+    if exact_cull and not os.environ.get("MQ_NO_EXACT_CULL"):
+        te = _cull_t_enter_exact(
+            rays, cluster_lo, cluster_hi, ray_block,
+            init_t=None if init is None else t0[0],
+        )
+    else:
+        te = _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block)
     if os.environ.get("MQ_WOOP_NOCULL"):
         # perf-anatomy knob: defeat culling so the sweep visits exactly
         # nb*nc tiles (gives an exact per-visit cost measurement)
@@ -800,6 +849,7 @@ def intersect_woop(
     accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
     sort_rays=False, resident=None, chunk=None, phase1_visits=0,
     fine=None, simple=None, group=None, init_t=None, subgate=None,
+    exact_cull=None,
 ):
     """HitRecord-compatible Woop-kernel intersection. Requires the accel
     to carry `woop_w` (see build_accel). ``sort_rays`` bins incoherent
@@ -867,6 +917,39 @@ def intersect_woop(
     # keep scalar bounds scalar through the sort (no permute needed)
     t_min_s = jnp.asarray(t_min, jnp.float32)
     t_max_s = jnp.asarray(t_max, jnp.float32)
+    t_all = accel.woop_w.shape[0] // 3
+    if (
+        sort_rays
+        and n >= ray_block
+        and t_all <= RESIDENT_MAX_TRIS
+        and os.environ.get("MQ_GROUPED")
+    ):
+        # wavefront regrouping (accel/grouped.py) — exact and tested,
+        # but measured SLOWER than the packet sweep end-to-end on chip
+        # (the per-round XLA cluster scans + re-sorts outweigh the
+        # saved tile visits); kept opt-in for further scheduling work.
+        # The production win extracted from it is the EXACT per-ray
+        # union cull below (_cull_t_enter_exact).
+        from .grouped import intersect_grouped
+
+        t_min_b = jnp.broadcast_to(t_min_s, (n,))
+        t_max_b = jnp.broadcast_to(t_max_s, (n,))
+        rays = _pack_rays(o, d, t_min_b, t_max_b, ray_block)
+        init = None
+        if init_t is not None:
+            pad = (-n) % ray_block
+            t0v = init_t
+            if pad:
+                t0v = jnp.concatenate([t0v, jnp.full((pad,), BIG)])
+            init = (t0v[None], jnp.full((1, rays.shape[1]), -1, jnp.int32))
+        out, idx = intersect_grouped(
+            rays, accel.woop_w, accel.cluster_lo, accel.cluster_hi,
+            ray_block=ray_block, chunk=chunk, interpret=interpret,
+            init=init, simple=simple,
+        )
+        t_o, tri = out[0, :n], idx[0, :n]
+        t_o, u, v = _recompute_tuv(accel, o, d, t_o, tri)
+        return HitRecord(t=t_o, tri=tri, u=u, v=v)
     if sort_rays and n >= ray_block:
         # permutes are done by CARRYING the data through lax.sort, not
         # by argsort + take: an n-row gather serializes on TPU
@@ -916,6 +999,12 @@ def intersect_woop(
             interpret=interpret, sort_rays=False, resident=resident,
             chunk=chunk, phase1_visits=phase1_visits, fine=False,
             simple=simple, group=group, init_t=init_t_s, subgate=subgate,
+            # exact per-ray union cull: measured a net LOSS on chip
+            # (the (N, nc) slab traffic outweighs the gated visits it
+            # removes — the per-visit reach gate already skips their
+            # tiles); opt-in for small-nc experiments
+            exact_cull=bool(os.environ.get("MQ_EXACT_CULL"))
+            if exact_cull is None else exact_cull,
         )
         # un-sort: sort by original position carrying the results. tri
         # must NOT ride bit-cast in an f32 lane: TPU canonicalizes NaN
@@ -931,6 +1020,7 @@ def intersect_woop(
     kw = dict(
         ray_block=ray_block, chunk=chunk, interpret=interpret,
         resident=resident, simple=simple, group=group, subgate=subgate,
+        exact_cull=bool(exact_cull),
     )
     t = accel.woop_w.shape[0] // 3
     init = None

@@ -199,6 +199,23 @@ def _cmd_graph(args) -> int:
     return 0
 
 
+def _cmd_certify(args) -> int:
+    import json
+
+    from .utils.certify import certify_presets
+
+    results = certify_presets(
+        names=args.presets or None,
+        scale=args.scale,
+        frames=args.frames,
+        ref_frames=args.ref_frames,
+        out_path=args.out,
+    )
+    print(json.dumps(results, indent=2))
+    print(f"wrote {args.out}")
+    return 0
+
+
 def _apply_platform(platform: str | None):
     """Force the JAX backend before first use. On this machine a
     sitecustomize pins the tpu tunnel backend programmatically, so the
@@ -278,6 +295,17 @@ def main(argv=None) -> int:
     pe.add_argument("image")
     pe.add_argument("reference")
     pe.set_defaults(fn=_cmd_error)
+
+    pc = sub.add_parser(
+        "certify",
+        help="relMSE certification of the tracked presets vs converged PT",
+    )
+    pc.add_argument("--presets", nargs="*", default=None)
+    pc.add_argument("--scale", type=float, default=0.25)
+    pc.add_argument("--frames", type=int, default=8)
+    pc.add_argument("--ref-frames", type=int, default=256)
+    pc.add_argument("--out", default="CERT_relmse.json")
+    pc.set_defaults(fn=_cmd_certify)
 
     args = p.parse_args(argv)
     _apply_platform(args.platform)

@@ -37,6 +37,11 @@ def _state_specs(state: FrameState) -> FrameState:
         if state.mcpg is not None
         else None
     )
+    svgf_specs = (
+        jax.tree.map(lambda _: P(AXIS), state.svgf)
+        if state.svgf is not None
+        else None
+    )
     return FrameState(
         accum_irradiance=P(AXIS),
         accum_direct=P(AXIS),
@@ -47,8 +52,8 @@ def _state_specs(state: FrameState) -> FrameState:
         accum_volume=img(state.accum_volume),
         restir=None,
         ssmm=None,
-        svgf=None,
-        taa_prev=None,
+        svgf=svgf_specs,
+        taa_prev=img(state.taa_prev),
     )
 
 
@@ -58,7 +63,6 @@ def init_state_sharded(mesh: Mesh, config: RenderConfig, mcpg_config=None) -> Fr
         "sharded rendering supports pt/mcpg (volume/restir/ssmm need "
         "full-frame neighborhoods)"
     )
-    assert state.svgf is None, "denoise not supported under sharding yet"
     specs = _state_specs(state)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
@@ -70,10 +74,13 @@ def render_frame_sharded(
 ):
     """One frame with the pixel grid sharded over ``mesh``.
 
-    Returns (new_state, ldr image) — both sharded along rows. For the
-    MCPG integrator the per-shard update queues are all-gathered over
-    the mesh (ICI collective) and every device replays the global set
-    into its replicated guiding state.
+    Returns (new_state, ldr image, hdr image) — all sharded along rows.
+    For the MCPG integrator the per-shard update queues are all-gathered
+    over the mesh (ICI collective) and every device replays the global
+    set into its replicated guiding state. ``hdr`` is the pre-FXAA
+    beauty (the continuous chain — the right target for bit-identity
+    checks; FXAA's discrete edge branches amplify f32 reassociation
+    noise into visible but benign local flips).
     """
     n = mesh.devices.size
     assert config.height % n == 0, (config.height, n)
@@ -103,6 +110,14 @@ def render_frame_sharded(
                 order = (1, 0, 2) + tuple(range(3, g.ndim))
                 return g.transpose(order).reshape((-1,) + x.shape[1:])
 
+            shard_ctx = None
+            if cfg.denoise:
+                from ..post.sharded import ShardCtx
+
+                shard_ctx = ShardCtx(
+                    axis=AXIS, n=n, rows=rows, height=cfg.height
+                )
+
             new_state, outputs = frame_core(
                 accel,
                 atlas,
@@ -114,8 +129,9 @@ def render_frame_sharded(
                 mean_fn=lambda x: jax.lax.pmean(x, AXIS),
                 mcpg_config=mcfg,
                 gather_fn=gather_all,
+                shard_ctx=shard_ctx,
             )
-            return new_state, outputs["ldr"]
+            return new_state, outputs["ldr"], outputs["hdr"]
 
         # check_vma=False: scan/while carries in the intersector are
         # initialized from replicated constants and become varying in
@@ -125,7 +141,7 @@ def render_frame_sharded(
             slab,
             mesh=mesh,
             in_specs=(P(), P(), P(), specs),
-            out_specs=(specs, P(AXIS)),
+            out_specs=(specs, P(AXIS), P(AXIS)),
             check_vma=False,
         )
         return sharded(accel, atlas, uniforms, state)

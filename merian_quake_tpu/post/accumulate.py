@@ -80,16 +80,23 @@ def accumulate_reprojected(
     return out, n
 
 
-def reproject(history, mv, fallback=None):
+def reproject(history, mv, fallback=None, y0=0, rows=None):
     """Bilinear history lookup at pixel + mv (mv in pixels, prev - cur).
 
     Out-of-bounds samples fall back to ``fallback`` (or the new frame's
     own value must be handled by the caller via the returned validity).
     Returns (reprojected, valid mask).
+
+    ``y0``/``rows``: evaluate only image rows [y0, y0+rows) of a
+    FULL-HEIGHT ``history`` (sharded rendering: each device passes its
+    all-gathered history and its local mv slab) — indexing is by global
+    row, so the sharded result is bit-identical to the single-device
+    one. Defaults cover the whole image.
     """
     H, W = history.shape[:2]
+    rows = H if rows is None else rows
     py, px = jnp.meshgrid(
-        jnp.arange(H, dtype=jnp.float32),
+        jnp.arange(rows, dtype=jnp.float32) + jnp.float32(y0),
         jnp.arange(W, dtype=jnp.float32),
         indexing="ij",
     )

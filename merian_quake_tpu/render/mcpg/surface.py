@@ -36,16 +36,71 @@ from .light_cache import lc_get
 
 
 class UpdateQueue(NamedTuple):
-    """Dense masked MC update samples (≈ MCUpdate slots, grid.h:23-35)."""
+    """Dense masked MC update samples (≈ MCUpdate slots, grid.h:23-35).
 
-    cell: jnp.ndarray  # i32[M] target state slot
-    id: jnp.ndarray  # u32[M] chain id the sample was generated from
-    w: jnp.ndarray  # f32[M] goodness (mc_f)
-    target: jnp.ndarray  # f32[M, 3] ray hit point
-    mv: jnp.ndarray  # f32[M, 3] target velocity
-    pos: jnp.ndarray  # f32[M, 3] path vertex position
-    normal: jnp.ndarray  # f32[M, 3]
-    mask: jnp.ndarray  # bool[M]
+    PACKED at emission into one i32 matrix — apply_updates' compaction
+    gather then reads one table instead of first materializing a
+     15-column concat of the whole frame queue (~500 MB of pure
+    bandwidth at 1080p). Integer lanes: f32 lanes canonicalize NaN
+    payloads / flush denormals on TPU. Column layout (15):
+    [w, target(3), mv(3), pos(3), normal(3), id, cell] — dead rows
+    carry the sentinel cell (>= mc_total_size), encoding the mask.
+    """
+
+    data: jnp.ndarray  # i32[..., 15]
+
+    _F32_COLS = {"w": 0, "target": slice(1, 4), "mv": slice(4, 7),
+                 "pos": slice(7, 10), "normal": slice(10, 13)}
+
+    @classmethod
+    def build(cls, cell, id, w, target, mv, pos, normal, mask, sentinel):
+        f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        data = jnp.concatenate(
+            [
+                f2i(w)[..., None],
+                f2i(target),
+                f2i(mv),
+                f2i(pos),
+                f2i(normal),
+                id.astype(jnp.int32)[..., None],
+                jnp.where(mask, cell, jnp.int32(sentinel))[..., None],
+            ],
+            axis=-1,
+        )
+        return cls(data=data)
+
+    def _f(self, name):
+        return jax.lax.bitcast_convert_type(
+            self.data[..., self._F32_COLS[name]], jnp.float32
+        )
+
+    @property
+    def w(self):
+        return self._f("w")
+
+    @property
+    def target(self):
+        return self._f("target")
+
+    @property
+    def mv(self):
+        return self._f("mv")
+
+    @property
+    def pos(self):
+        return self._f("pos")
+
+    @property
+    def normal(self):
+        return self._f("normal")
+
+    @property
+    def id(self):
+        return self.data[..., 13].astype(jnp.uint32)
+
+    @property
+    def cell(self):
+        return self.data[..., 14]
 
 
 class LCQueue(NamedTuple):
@@ -328,7 +383,7 @@ def render_mcpg_surface(
 
             ys = (
                 LCQueue(pos=cur.pos, normal=cur.normal, irr=lc_val, mask=lc_mask),
-                UpdateQueue(
+                UpdateQueue.build(
                     cell=up_cell,
                     id=mc_state.id,
                     w=mc_f,
@@ -337,6 +392,7 @@ def render_mcpg_surface(
                     pos=cur.pos,
                     normal=cur.normal,
                     mask=up_mask,
+                    sentinel=mcfg.mc_total_size,
                 ),
                 ZeroQueue(cell=jnp.maximum(mc_idx, 0), mask=zero_mask),
             )

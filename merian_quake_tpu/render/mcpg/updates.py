@@ -71,7 +71,8 @@ def apply_updates(
     mc = mstate.mc
     S = mcfg.mc_total_size
     upq = result.updates
-    M = upq.w.shape[0]
+    qtab = upq.data  # (M, 15) packed at emission (surface.py)
+    M = qtab.shape[0]
 
     # ---- 1. prefix compaction: ONE 2-op sort serves BOTH queues ----
     # The raw queue is every path vertex but only ~15% of rows pass the
@@ -86,8 +87,9 @@ def apply_updates(
     # static PREFIX and zero requests a static SUFFIX; every downstream
     # sort/gather runs at capacity rows. Overflow drops, like the
     # reference's full per-cell queues.
+    live_mask = qtab[:, 14] < S
     cls = jnp.where(
-        upq.mask,
+        live_mask,
         jnp.int32(0),
         jnp.where(result.zeros.mask, jnp.int32(2), jnp.int32(1)),
     )
@@ -104,25 +106,10 @@ def apply_updates(
     )
     mc = mc._replace(f=mc.f.at[zcells, 3].set(0.0, mode="drop"))
 
-    # ---- 1b. compacted update rows from the prefix ----
+    # ---- 1b. compacted update rows from the prefix: ONE monotone
+    # (cap_u, 15) gather straight from the emission-packed table ----
     cap_u = int(min(M, mcfg.update_queue_capacity))
     pu = ps[:cap_u]
-    # ONE packed (M, 15) i32 gather at capacity rows, MONOTONE by
-    # construction (integer lanes: f32 lanes canonicalize NaN payloads
-    # / flush denormals on TPU). Dead rows carry the sentinel cell so
-    # liveness survives the gather.
-    qtab = jnp.concatenate(
-        [
-            _f2i(upq.w)[:, None],
-            _f2i(upq.target),
-            _f2i(upq.mv),
-            _f2i(upq.pos),
-            _f2i(upq.normal),
-            upq.id.astype(jnp.int32)[:, None],
-            jnp.where(upq.mask, upq.cell, jnp.int32(S))[:, None],
-        ],
-        axis=1,
-    )
     qr = jnp.take(qtab, pu, axis=0)  # (cap_u, 15)
     w_u = _i2f(qr[:, 0])
     tgt_u = _i2f(qr[:, 1:4])

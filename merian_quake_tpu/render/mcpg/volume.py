@@ -379,7 +379,7 @@ def render_volume(
             ok & ~accept & (mc_idx >= 0) & missing & bool(mcfg.mc_fast_recovery)
         )
         upq_all.append(
-            UpdateQueue(
+            UpdateQueue.build(
                 cell=up_cell,
                 id=mc_state.id,
                 w=mc_f,
@@ -388,6 +388,7 @@ def render_volume(
                 pos=pos,
                 normal=jit_n,
                 mask=accept & jnp.isfinite(mc_f),
+                sentinel=mcfg.mc_total_size,
             )
         )
         zq_all.append(ZeroQueue(cell=jnp.maximum(mc_idx, 0), mask=zero_mask))

@@ -104,13 +104,17 @@ def frame_core(
     mean_fn=lambda x: x,
     mcpg_config=None,
     gather_fn=lambda x: x,
+    shard_ctx=None,
 ):
     """One frame over an image-row slab. ``mean_fn`` reduces a local
     scalar mean to the global mean (lax.pmean under shard_map);
     ``gather_fn`` concatenates per-shard guiding-update queues across
     the mesh (lax.all_gather) so every device applies the GLOBAL update
     set to its replica of the guiding state — replicas stay bit-
-    identical without sharding the 2.4 GB state itself."""
+    identical without sharding the 2.4 GB state itself. ``shard_ctx``
+    (post.sharded.ShardCtx) switches the denoise chain to its
+    halo-exchange variants; required when denoise runs under
+    shard_map."""
     rows = config.height if rows is None else rows
     gbuf = render_gbuffer(accel, atlas, uniforms, config, y0=y0, rows=rows)
     new_mcpg = state.mcpg
@@ -211,9 +215,18 @@ def frame_core(
     # renderer irradiance → accumulate → SVGF(+albedo remodulate) →
     # add direct emission → exposure → tonemap → TAA → FXAA
     if config.denoise:
-        from .post.fxaa import fxaa
-        from .post.svgf import svgf
-        from .post.taa import taa
+        if shard_ctx is not None:
+            from functools import partial
+
+            from .post.sharded import fxaa_sharded, svgf_sharded, taa_sharded
+
+            svgf = partial(svgf_sharded, shard_ctx)
+            taa = partial(taa_sharded, shard_ctx)
+            fxaa = partial(fxaa_sharded, shard_ctx)
+        else:
+            from .post.fxaa import fxaa
+            from .post.svgf import svgf
+            from .post.taa import taa
 
         new_svgf, filtered = svgf(
             state.svgf,

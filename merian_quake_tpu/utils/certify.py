@@ -1,0 +1,105 @@
+"""Automated relMSE certification for the tracked preset configs.
+
+The north-star quality target (BASELINE.md) is relMSE at equal spp
+within 5% of the Vulkan reference on its benchmark scenes. The Vulkan
+implementation cannot run in this environment, so the tracked
+certification is against a CONVERGED own-PT ground truth (the
+reference's own golden-image workflow, scripts/error_plot.py:27-60):
+
+- ground truth: plain unidirectional PT (mcpg.comp REFERENCE_MODE
+  semantics) accumulated for ``ref_frames`` frames;
+- candidate: the preset's integrator accumulated for ``frames`` frames
+  (equal sample budget as a PT run with the same ``frames``);
+- reported per preset: absolute relMSE, the equal-budget PT relMSE,
+  and their ratio (guided integrators should be ≤ 1 in guiding-bound
+  scenes; a ratio creeping above ~1.05 on diffuse-dominated scenes is
+  the regression signal the 5% target encodes).
+
+Scenes are static (error measurement needs a fixed view), resolutions
+scaled down by ``scale`` to keep the certification fast.
+"""
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from .metrics import relmse
+
+
+def _run(bundle, config, integ_config, frames):
+    """Accumulated SURFACE beauty (volume in-scatter excluded: the PT
+    ground truth has no volume term, so certification compares the
+    surface transport both integrators estimate)."""
+    import jax.numpy as jnp
+
+    from ..accel.build import build_accel
+    from ..renderer import init_state, render_frame
+
+    accel = build_accel(bundle.scene, bundle.atlas)
+    state = init_state(config, integ_config)
+    uniforms = bundle.uniforms
+    outputs = None
+    for i in range(frames):
+        uniforms = uniforms._replace(frame=jnp.uint32(i))
+        state, outputs = render_frame(
+            accel, bundle.atlas, uniforms, config, state, integ_config
+        )
+    hdr = np.asarray(outputs["hdr"])
+    if state.accum_volume is not None:
+        hdr = hdr - np.asarray(state.accum_volume)[..., :3]
+    return hdr
+
+
+def certify_presets(
+    names=None,
+    scale: float = 0.25,
+    frames: int = 8,
+    ref_frames: int = 256,
+    out_path: str | None = None,
+) -> dict:
+    """Returns {preset: {relmse, relmse_pt_equal_budget, ratio, ...}}."""
+    from ..accel.build import scene_features
+    from ..presets import PRESETS
+
+    names = list(PRESETS) if names is None else list(names)
+    results = {}
+    for name in names:
+        p = PRESETS[name]
+        W = max(int(p.config.width * scale) // 8 * 8, 16)
+        H = max(int(p.config.height * scale) // 8 * 8, 16)
+        bundle = p.make_bundle()
+        cfg = p.config._replace(
+            width=W,
+            height=H,
+            denoise=False,
+            features=scene_features(
+                bundle.scene, bundle.uniforms, bundle.atlas
+            ),
+        )
+        ref_cfg = cfg._replace(integrator="pt")
+        truth = _run(bundle, ref_cfg, None, ref_frames)
+        test = _run(bundle, cfg, p.integ_config, frames)
+        pt_eq = (
+            test
+            if cfg.integrator == "pt"
+            else _run(bundle, ref_cfg, None, frames)
+        )
+        e_test = float(relmse(test, truth))
+        e_pt = float(relmse(pt_eq, truth))
+        results[name] = {
+            "integrator": cfg.integrator,
+            "resolution": f"{W}x{H}",
+            "spp": cfg.spp,
+            "frames": frames,
+            "ref_frames": ref_frames,
+            "relmse": e_test,
+            "relmse_pt_equal_budget": e_pt,
+            "ratio_vs_pt": e_test / max(e_pt, 1e-12),
+            "target": "within 5% of the Vulkan reference at equal spp "
+                      "(BASELINE.md); tracked proxy: ratio_vs_pt",
+        }
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=2)
+    return results

@@ -179,7 +179,7 @@ def test_apply_updates_creates_and_matures_chains():
 
     # round 1: fresh chains at arbitrary cells
     cells = jnp.arange(m, dtype=jnp.int32)
-    upq = UpdateQueue(
+    upq = UpdateQueue.build(
         cell=cells,
         id=jnp.full((m,), 77, jnp.uint32),
         w=jnp.full((m,), 3.0),
@@ -188,6 +188,7 @@ def test_apply_updates_creates_and_matures_chains():
         pos=pos,
         normal=nrm,
         mask=jnp.ones((m,), bool),
+        sentinel=CFG.mc_total_size,
     )
     res = SurfaceResult(
         irradiance=jnp.zeros((1, 1, 4)), updates=upq, lc_samples=empty_lc,
@@ -207,7 +208,7 @@ def test_apply_updates_creates_and_matures_chains():
     occ = jnp.asarray(act[:8], jnp.int32)
     ids = jnp.take(st1.mc.id, occ)
     m2 = occ.shape[0]
-    upq2 = UpdateQueue(
+    upq2 = UpdateQueue.build(
         cell=occ,
         id=ids,
         w=jnp.full((m2,), 3.0),
@@ -216,6 +217,7 @@ def test_apply_updates_creates_and_matures_chains():
         pos=pos[:m2],
         normal=nrm[:m2],
         mask=jnp.ones((m2,), bool),
+        sentinel=CFG.mc_total_size,
     )
     res2 = SurfaceResult(
         irradiance=jnp.zeros((1, 1, 4)),
@@ -239,7 +241,7 @@ def test_fast_recovery_zeroes_state():
     m = 4
     res = SurfaceResult(
         irradiance=jnp.zeros((1, 1, 4)),
-        updates=UpdateQueue(
+        updates=UpdateQueue.build(
             cell=jnp.zeros((m,), jnp.int32),
             id=jnp.zeros((m,), jnp.uint32),
             w=jnp.zeros((m,)),
@@ -248,6 +250,7 @@ def test_fast_recovery_zeroes_state():
             pos=jnp.zeros((m, 3)),
             normal=jnp.zeros((m, 3)),
             mask=jnp.zeros((m,), bool),
+            sentinel=CFG.mc_total_size,
         ),
         lc_samples=LCQueue(
             pos=jnp.zeros((m, 3)),
@@ -283,7 +286,7 @@ def test_apply_updates_mixed_queue_and_overflow_drop():
         cell=jnp.full((m,), 33, jnp.int32),
         mask=(jnp.arange(m) == 25),
     )
-    upq = UpdateQueue(
+    upq = UpdateQueue.build(
         cell=jnp.arange(m, dtype=jnp.int32),
         id=jnp.full((m,), 7, jnp.uint32),
         w=jnp.full((m,), 2.0),
@@ -292,6 +295,7 @@ def test_apply_updates_mixed_queue_and_overflow_drop():
         pos=pos,
         normal=nrm,
         mask=live,
+        sentinel=cfg.mc_total_size,
     )
     res = SurfaceResult(
         irradiance=jnp.zeros((1, 1, 4)),

@@ -26,7 +26,7 @@ def test_sharded_matches_single_device():
 
     mesh = make_mesh(8)
     state_8 = init_state_sharded(mesh, config)
-    state_8, ldr_8 = render_frame_sharded(
+    state_8, ldr_8, hdr_8 = render_frame_sharded(
         mesh, accel, bundle.atlas, bundle.uniforms, config, state_8
     )
 
@@ -47,6 +47,50 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(4)
+
+
+def test_sharded_denoise_matches_single_device():
+    """The full beauty pipeline (SVGF temporal + à-trous halos + TAA +
+    FXAA) under shard_map must match single-device: halo rows are the
+    neighbors' true rows, image borders replicate (clamp semantics),
+    reprojection gathers the same full history. The CONTINUOUS chain
+    (svgf state, pre-FXAA hdr) is compared tightly; the final ldr is
+    allowed rare local flips where FXAA's discrete edge branches
+    amplify f32 reassociation noise between the two XLA programs (the
+    same effect appears between jitted and eager single-device runs)."""
+    import jax.numpy as jnp
+
+    bundle = cornell_box()
+    accel = build_accel(bundle.scene, bundle.atlas)
+    # 64 rows / 8 shards = 8-row slabs: à-trous steps 1 and 2 use halo
+    # exchange, steps 4+ exercise the gather-and-slice fallback
+    config = RenderConfig(
+        width=48, height=64, spp=1, max_path_length=2, denoise=True
+    )
+
+    state_1 = init_state(config)
+    mesh = make_mesh(8)
+    state_8 = init_state_sharded(mesh, config)
+    u = bundle.uniforms
+    for i in range(3):  # multiple frames: temporal/TAA history in play
+        u = u._replace(frame=jnp.uint32(i))
+        state_1, out_1 = render_frame(accel, bundle.atlas, u, config, state_1)
+        state_8, ldr_8, hdr_8 = render_frame_sharded(
+            mesh, accel, bundle.atlas, u, config, state_8
+        )
+    np.testing.assert_allclose(
+        np.asarray(hdr_8), np.asarray(out_1["hdr"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_8.svgf.irr), np.asarray(state_1.svgf.irr), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_8.svgf.history_len),
+        np.asarray(state_1.svgf.history_len),
+    )
+    ldr_d = np.abs(np.asarray(ldr_8) - np.asarray(out_1["ldr"]))
+    assert (ldr_d > 1e-3).mean() < 0.02, (ldr_d > 1e-3).mean()
+    assert ldr_d.max() < 0.1, ldr_d.max()
 
 
 def test_sharded_mcpg_matches_single_device():
@@ -71,7 +115,7 @@ def test_sharded_mcpg_matches_single_device():
     u = bundle.uniforms
     for i in range(1):
         u = u._replace(frame=jnp.uint32(i))
-        st8, ldr8 = render_frame_sharded(
+        st8, ldr8, hdr8 = render_frame_sharded(
             mesh, accel, bundle.atlas, u, config, st8, mcfg
         )
         st1, out1 = render_frame(accel, bundle.atlas, u, config, st1, mcfg)
