@@ -830,6 +830,30 @@ def _recompute_tuv(accel, o, d, t_approx, tri):
     )
 
 
+def _world_exit_clamp(accel, o, d, t_max_b):
+    """Clamp per-ray t_max to the world-AABB exit parameter.
+
+    Any hit lies inside the scene box, so t_exit bounds it EXACTLY —
+    but the sweep's horizon logic doesn't know that: a single sky ray
+    (no hit) otherwise holds its whole block's horizon at T_MAX and
+    forces the sweep through every cluster along the bundle. With the
+    clamp, sky-heavy blocks exit after the clusters before their rays
+    LEAVE the scene (outdoor bounce populations: most of the sweep).
+    The small slack absorbs f32 slab rounding; geometry ON the box
+    surface (sky quads) stays inside the clamped range.
+    """
+    lo = jnp.asarray(accel.world_lo)
+    hi = jnp.asarray(accel.world_hi)
+    tiny = jnp.where(d >= 0.0, jnp.float32(1e-20), jnp.float32(-1e-20))
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, tiny, d)
+    t1 = (lo[None, :] - o) * inv_d
+    t2 = (hi[None, :] - o) * inv_d
+    t_exit = jnp.maximum(t1, t2).min(axis=1)
+    # origins outside the box (shouldn't happen) keep their t_max
+    t_exit = jnp.where(t_exit > 0.0, t_exit * 1.001 + 0.1, jnp.float32(BIG))
+    return jnp.minimum(t_max_b, t_exit)
+
+
 def _pack_rays(o, d, t_min_b, t_max_b, ray_block):
     """(8, n_padded) ray matrix for intersect_woop_packed."""
     n = o.shape[0]
@@ -849,7 +873,7 @@ def intersect_woop(
     accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
     sort_rays=False, resident=None, chunk=None, phase1_visits=0,
     fine=None, simple=None, group=None, init_t=None, subgate=None,
-    exact_cull=None,
+    exact_cull=None, world_clamp=True,
 ):
     """HitRecord-compatible Woop-kernel intersection. Requires the accel
     to carry `woop_w` (see build_accel). ``sort_rays`` bins incoherent
@@ -917,6 +941,16 @@ def intersect_woop(
     # keep scalar bounds scalar through the sort (no permute needed)
     t_min_s = jnp.asarray(t_min, jnp.float32)
     t_max_s = jnp.asarray(t_max, jnp.float32)
+    if world_clamp and os.environ.get("MQ_WORLD_CLAMP"):
+        # per-ray world-exit clamp (see _world_exit_clamp); exact, but
+        # measured a small LOSS on chip (1146 vs 1134 ms): Quake-style
+        # scenes enclose the view with sky GEOMETRY, so rays always
+        # commit a finite best_t and the horizon is never held at T_MAX
+        # — the clamp only pays its per-ray cost + the extra sort
+        # operand. Opt-in for open/unenclosed scenes.
+        t_max_s = _world_exit_clamp(
+            accel, o, d, jnp.broadcast_to(t_max_s, (n,))
+        )
     t_all = accel.woop_w.shape[0] // 3
     if (
         sort_rays
@@ -999,6 +1033,7 @@ def intersect_woop(
             interpret=interpret, sort_rays=False, resident=resident,
             chunk=chunk, phase1_visits=phase1_visits, fine=False,
             simple=simple, group=group, init_t=init_t_s, subgate=subgate,
+            world_clamp=False,
             # exact per-ray union cull: measured a net LOSS on chip
             # (the (N, nc) slab traffic outweighs the gated visits it
             # removes — the per-visit reach gate already skips their

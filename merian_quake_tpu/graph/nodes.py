@@ -108,6 +108,8 @@ class MCPGNode(Node):
         outs = {"irradiance": res.irradiance, "volume": None, "volume_mv": None}
         new_state = dict(state)
         if mcfg.volume is not None:
+            from ..render.mcpg.volume import apply_dist_updates
+
             vol_img, new_vol, vres = render_volume(
                 ctx.accel, ctx.atlas, uniforms, ctx.config, mcfg,
                 mcfg.volume, state["mcpg"], state["volume"], gbuffer,
@@ -120,6 +122,11 @@ class MCPGNode(Node):
                 updates=cat(res.updates, vres.updates),
                 lc_samples=cat(res.lc_samples, vres.lc_samples),
                 zeros=cat(res.zeros, vres.zeros),
+            )
+            new_vol = new_vol._replace(
+                dist_mc=apply_dist_updates(
+                    state["volume"].dist_mc, vres.dist
+                )
             )
             outs["volume"] = vol_img
             new_state["volume"] = new_vol

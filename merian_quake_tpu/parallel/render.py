@@ -42,13 +42,24 @@ def _state_specs(state: FrameState) -> FrameState:
         if state.svgf is not None
         else None
     )
+    vol_specs = None
+    if state.volume is not None:
+        from ..render.mcpg.volume import VolumeState
+
+        # distance-MC grid replicated (updates all-gathered like the MC
+        # queues); per-pixel depth images shard along rows
+        vol_specs = VolumeState(
+            dist_mc=jax.tree.map(lambda _: P(), state.volume.dist_mc),
+            volume_depth=P(AXIS),
+            prev_volume_depth=P(AXIS),
+        )
     return FrameState(
         accum_irradiance=P(AXIS),
         accum_direct=P(AXIS),
         accum_albedo=P(AXIS),
         iteration=P(),
         mcpg=rep,
-        volume=None,
+        volume=vol_specs,
         accum_volume=img(state.accum_volume),
         restir=None,
         ssmm=None,
@@ -59,9 +70,9 @@ def _state_specs(state: FrameState) -> FrameState:
 
 def init_state_sharded(mesh: Mesh, config: RenderConfig, mcpg_config=None) -> FrameState:
     state = init_state(config, mcpg_config)
-    assert state.volume is None and state.restir is None, (
-        "sharded rendering supports pt/mcpg (volume/restir/ssmm need "
-        "full-frame neighborhoods)"
+    assert state.restir is None and state.ssmm is None, (
+        "sharded rendering supports pt/mcpg(+volume); restir/ssmm "
+        "spatial reuse needs full-frame neighborhoods"
     )
     specs = _state_specs(state)
     return jax.tree.map(
@@ -96,13 +107,12 @@ def render_frame_sharded(
             idx = jax.lax.axis_index(AXIS)
             y0 = idx * rows
 
-            # queue entries are flattened (spp·segments, pixels); the
-            # single-device order interleaves full-image pixels within
-            # each group, so regroup after gathering to keep the replay
-            # bit-identical to single-device
-            groups = cfg.spp * max(cfg.max_path_length - 1, 1)
-
-            def gather_all(x):
+            # queue entries are flattened (groups, pixels) with a
+            # per-queue group count (spp·segments for the surface
+            # queues, volume_spp for the volume ones); the single-device
+            # order interleaves full-image pixels within each group, so
+            # regroup after gathering to keep the replay bit-identical
+            def gather_all(x, groups=1):
                 g = jax.lax.all_gather(x, AXIS)  # (ndev, M_shard, ...)
                 ndev = g.shape[0]
                 per = g.shape[1] // groups

@@ -117,11 +117,38 @@ class ZeroQueue(NamedTuple):
     mask: jnp.ndarray
 
 
+class DistQueue(NamedTuple):
+    """Distance-MC state writes from the volume pass, deferred to
+    apply_updates (columns [sw, m0, m1, N, flat] — f32 bitcast in i32
+    lanes; dropped rows carry the sentinel flat index). Deferral keeps
+    replicated distance grids identical under sharding: every device
+    applies the same gathered queue. Divergence from the reference's
+    in-pass writes (volume.comp): later volume spp samples read the
+    frame-START states instead of same-frame updates — one frame of
+    extra lag on a state that converges over hundreds."""
+
+    data: jnp.ndarray  # i32[M, 5]
+
+    @classmethod
+    def build(cls, sw, m0, m1, n_chain, flat, mask, sentinel):
+        f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        return cls(
+            data=jnp.stack(
+                [
+                    f2i(sw), f2i(m0), f2i(m1), n_chain.astype(jnp.int32),
+                    jnp.where(mask, flat, jnp.int32(sentinel)),
+                ],
+                axis=-1,
+            )
+        )
+
+
 class SurfaceResult(NamedTuple):
     irradiance: jnp.ndarray  # f32[rows, W, 4]
     updates: UpdateQueue
     lc_samples: LCQueue
     zeros: ZeroQueue
+    dist: DistQueue | None = None  # volume pass only
 
 
 def _select_state(mask, a: grids.StateSample, b: grids.StateSample):

@@ -33,7 +33,7 @@ from ..trace import trace_ray
 from . import grids
 from .config import MCPGConfig, MCPGState
 from .light_cache import lc_get
-from .surface import LCQueue, SurfaceResult, UpdateQueue, ZeroQueue
+from .surface import DistQueue, LCQueue, SurfaceResult, UpdateQueue, ZeroQueue
 
 DIST_ML_MAX_N = 1024
 DIST_ML_MIN_ALPHA = 0.01
@@ -141,36 +141,55 @@ def render_volume(
     mstate: MCPGState,
     vstate: VolumeState,
     gbuf: GBufferOutput,
+    y0=0,
+    rows: int | None = None,
+    gather_img_fn=lambda x: x,
 ):
-    """One volume pass. Returns (volume img [H,W,4], new VolumeState,
-    extra SurfaceResult whose queues feed apply_updates)."""
+    """One volume pass over image rows [y0, y0+rows). Returns
+    (volume img [rows,W,4], new VolumeState, extra SurfaceResult whose
+    queues feed apply_updates — including the distance-MC update queue
+    in ``extra.dist``, applied by apply_updates after the cross-shard
+    gather so every replica's distance grid stays identical).
+
+    ``gather_img_fn``: (rows, W[, C]) slab → full (H, W[, C]) image
+    (lax.all_gather under shard_map; identity on one device) — the
+    forward projection scatters previous-frame depth into arbitrary
+    target pixels, so it runs on the full image and slices the slab."""
     W, H = config.width, config.height
-    n = W * H
+    rows = H if rows is None else rows
+    n = W * rows
     K = mcfg.mc_samples
     DK = vcfg.distance_mc_samples
     cam_x = uniforms.cam_x
 
-    pxi, pyi = layout.gen_pixels(W, H)
+    pxi, pyi = layout.gen_pixels(W, rows, y0=y0)
     pxf = pxi.astype(jnp.float32)
     pyf = pyi.astype(jnp.float32)
     rng = rng_ops.seed_pixel(pxi, pyi, uniforms.frame, config.seed + 101)
 
-    linear_z = layout.image_to_flat(gbuf.linear_z, W, H)
-    first_n = layout.image_to_flat(gbuf.normal, W, H)
+    linear_z = layout.image_to_flat(gbuf.linear_z, W, rows)
+    first_n = layout.image_to_flat(gbuf.normal, W, rows)
     first_wi = cam_ops.ray_dir(
         pxf, pyf, W, H, uniforms.cam_u, uniforms.cam_w, uniforms.fov_tan_half
     )
 
     # volume motion vectors: forward-projected prev scatter depth
-    vol_mv = _forward_project(gbuf.mv, vstate.prev_volume_depth, uniforms, config)
-    mv_flat = layout.image_to_flat(vol_mv, W, H)
+    # (full-image scatter, then this slab's rows)
+    vol_mv_full = _forward_project(
+        gather_img_fn(gbuf.mv),
+        gather_img_fn(vstate.prev_volume_depth),
+        uniforms,
+        config,
+    )
+    vol_mv = jax.lax.dynamic_slice_in_dim(vol_mv_full, y0, rows, 0)
+    mv_flat = layout.image_to_flat(vol_mv, W, rows)
 
     dmc = vstate.dist_mc
     max_t_pix = jnp.minimum(linear_z, uniforms.volume_max_t)
 
     irr_acc = jnp.zeros((n, 3))
     m2_acc = jnp.zeros((n,))
-    lcq_all, upq_all, zq_all = [], [], []
+    lcq_all, upq_all, zq_all, dq_all = [], [], [], []
     expected_depth = linear_z
 
     for s in range(vcfg.volume_spp):
@@ -352,16 +371,14 @@ def render_volume(
         rng, tile_s, slot_s = _dist_tile_idx(rng, pxf, pyf, config, vcfg)
         C = dmc.sum_w.shape[0]
         flat = tile_s * vcfg.distance_state_count + slot_s
-        flat = jnp.where(save, flat, C * vcfg.distance_state_count)
-        dmc = DistanceMC(
-            sum_w=dmc.sum_w.reshape(-1).at[flat].set(new_sw, mode="drop").reshape(
-                dmc.sum_w.shape
-            ),
-            N=dmc.N.reshape(-1).at[flat].set(nw, mode="drop").reshape(dmc.N.shape),
-            moments=dmc.moments.reshape(-1, 2)
-            .at[flat]
-            .set(new_mm, mode="drop")
-            .reshape(dmc.moments.shape),
+        # deferred write: queued for apply_updates (see DistQueue —
+        # keeps replicated distance grids identical under sharding)
+        dq_all.append(
+            DistQueue.build(
+                sw=new_sw, m0=new_mm[..., 0], m1=new_mm[..., 1],
+                n_chain=nw, flat=flat, mask=save,
+                sentinel=C * vcfg.distance_state_count,
+            )
         )
 
         # ---- direction MC update (jittered normal around -wi) ----
@@ -405,7 +422,7 @@ def render_volume(
     img = layout.flat_to_image(
         jnp.concatenate([irr_acc / spp, (m2_acc / spp)[..., None]], axis=-1),
         W,
-        H,
+        rows,
     )
 
     cat = lambda parts: jax.tree.map(lambda *xs: jnp.concatenate(xs), *parts)
@@ -414,14 +431,38 @@ def render_volume(
         updates=cat(upq_all),
         lc_samples=cat(lcq_all),
         zeros=cat(zq_all),
+        dist=cat(dq_all),
     )
-    depth_img = layout.flat_to_image(expected_depth, W, H)
+    depth_img = layout.flat_to_image(expected_depth, W, rows)
     new_vstate = VolumeState(
         dist_mc=dmc,
         volume_depth=depth_img,
         prev_volume_depth=depth_img,
     )
     return img, new_vstate, extra
+
+
+def apply_dist_updates(dmc: DistanceMC, dq) -> DistanceMC:
+    """Apply a (gathered) DistQueue to the distance-MC grid.
+
+    Last-writer-wins among duplicate slots, like the reference's
+    racing in-shader writes (volume.comp) — but from a deterministic
+    queue, so replicated grids stay identical across devices."""
+    i2f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+    sw = i2f(dq.data[:, 0])
+    mm = i2f(dq.data[:, 1:3])
+    nw = dq.data[:, 3]
+    flat = dq.data[:, 4]
+    return DistanceMC(
+        sum_w=dmc.sum_w.reshape(-1).at[flat].set(sw, mode="drop").reshape(
+            dmc.sum_w.shape
+        ),
+        N=dmc.N.reshape(-1).at[flat].set(nw, mode="drop").reshape(dmc.N.shape),
+        moments=dmc.moments.reshape(-1, 2)
+        .at[flat]
+        .set(mm, mode="drop")
+        .reshape(dmc.moments.shape),
+    )
 
 
 def _forward_project(surface_mv, prev_volume_depth, uniforms: Uniforms, config):

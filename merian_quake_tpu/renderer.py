@@ -103,7 +103,7 @@ def frame_core(
     rows: int | None = None,
     mean_fn=lambda x: x,
     mcpg_config=None,
-    gather_fn=lambda x: x,
+    gather_fn=lambda x, groups=1: x,
     shard_ctx=None,
 ):
     """One frame over an image-row slab. ``mean_fn`` reduces a local
@@ -124,7 +124,7 @@ def frame_core(
     new_accum_volume = state.accum_volume
     if config.integrator == "mcpg":
         from .render.mcpg import apply_updates
-        from .render.mcpg.surface import render_mcpg_surface
+        from .render.mcpg.surface import SurfaceResult, render_mcpg_surface
 
         res = render_mcpg_surface(
             accel,
@@ -138,35 +138,47 @@ def frame_core(
             rows=rows,
         )
         irr = res.irradiance
+        # cross-shard gathers regroup per queue (each queue's rows are
+        # [group, pixels]-ordered with its OWN group count), so gather
+        # BEFORE concatenating surface and volume queues
+        surf_groups = max(config.spp, 1) * max(config.max_path_length - 1, 1)
+        g = lambda tree, k: jax.tree.map(lambda x: gather_fn(x, k), tree)
+        res = SurfaceResult(
+            irradiance=res.irradiance,
+            updates=g(res.updates, surf_groups),
+            lc_samples=g(res.lc_samples, surf_groups),
+            zeros=g(res.zeros, surf_groups),
+        )
         if mcpg_config.volume is not None:
-            from .render.mcpg.volume import render_volume
-            from .render.mcpg.surface import SurfaceResult
+            from .render.mcpg.volume import apply_dist_updates, render_volume
 
             vol_img, new_volume, vres = render_volume(
                 accel, atlas, uniforms, config, mcpg_config,
                 mcpg_config.volume, state.mcpg, state.volume, gbuf,
+                y0=y0, rows=rows,
+                gather_img_fn=(
+                    shard_ctx.gather_rows if shard_ctx is not None
+                    else (lambda x: x)
+                ),
             )
-            # merge volume guiding queues with the surface queues
+            vgroups = max(mcpg_config.volume.volume_spp, 1)
             cat = lambda a, b: jax.tree.map(
                 lambda x, y: jnp.concatenate([x, y]), a, b
             )
             res = SurfaceResult(
                 irradiance=res.irradiance,
-                updates=cat(res.updates, vres.updates),
-                lc_samples=cat(res.lc_samples, vres.lc_samples),
-                zeros=cat(res.zeros, vres.zeros),
+                updates=cat(res.updates, g(vres.updates, vgroups)),
+                lc_samples=cat(res.lc_samples, g(vres.lc_samples, vgroups)),
+                zeros=cat(res.zeros, g(vres.zeros, vgroups)),
+            )
+            new_volume = new_volume._replace(
+                dist_mc=apply_dist_updates(
+                    state.volume.dist_mc, g(vres.dist, vgroups)
+                )
             )
             new_accum_volume = accumulate(
                 state.accum_volume, vol_img, state.iteration
             )
-        from .render.mcpg.surface import SurfaceResult as _SR
-
-        res = _SR(
-            irradiance=res.irradiance,
-            updates=jax.tree.map(gather_fn, res.updates),
-            lc_samples=jax.tree.map(gather_fn, res.lc_samples),
-            zeros=jax.tree.map(gather_fn, res.zeros),
-        )
         new_mcpg = apply_updates(
             jnp.uint32(config.seed), state.mcpg, res, uniforms, mcpg_config
         )

@@ -93,6 +93,61 @@ def test_sharded_denoise_matches_single_device():
     assert ldr_d.max() < 0.1, ldr_d.max()
 
 
+def test_sharded_mcpg_volume_matches_single_device():
+    """MCPG + single-scattering volume under shard_map: distance-MC
+    queue all-gathered and replayed identically, forward projection on
+    the gathered depth image — matches single-device."""
+    import jax.numpy as jnp
+
+    from merian_quake_tpu.accel.build import scene_features
+    from merian_quake_tpu.render.mcpg import MCPGConfig
+    from merian_quake_tpu.render.mcpg.volume import VolumeConfig
+
+    bundle = cornell_box()
+    accel = build_accel(bundle.scene, bundle.atlas)
+    uniforms = bundle.uniforms._replace(
+        mu_t=jnp.float32(0.004), mu_s=jnp.full((3,), 0.0032)
+    )
+    config = RenderConfig(
+        width=48, height=16, spp=1, max_path_length=2, integrator="mcpg",
+        features=scene_features(bundle.scene, uniforms, bundle.atlas),
+    )
+    mcfg = MCPGConfig(
+        mc_adaptive_size=1 << 12, mc_static_size=1 << 10, lc_size=1 << 12,
+        volume=VolumeConfig(volume_spp=2, dist_guide_p=0.5),
+    )
+    mesh = make_mesh(8)
+    st8 = init_state_sharded(mesh, config, mcfg)
+    st1 = init_state(config, mcfg)
+    u = uniforms
+    for i in range(2):
+        u = u._replace(frame=jnp.uint32(i))
+        st8, ldr8, hdr8 = render_frame_sharded(
+            mesh, accel, bundle.atlas, u, config, st8, mcfg
+        )
+        st1, out1 = render_frame(accel, bundle.atlas, u, config, st1, mcfg)
+    np.testing.assert_allclose(
+        np.asarray(ldr8), np.asarray(out1["ldr"]), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st8.volume.dist_mc.sum_w),
+        np.asarray(st1.volume.dist_mc.sum_w),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st8.volume.volume_depth),
+        np.asarray(st1.volume.volume_depth),
+        atol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st8.accum_volume),
+        np.asarray(st1.accum_volume),
+        atol=3e-5,
+    )
+    # the volume really contributed (fog in-scatter non-zero)
+    assert float(np.asarray(st8.accum_volume)[..., :3].max()) > 0.0
+
+
 def test_sharded_mcpg_matches_single_device():
     """Full MCPG training step over the mesh: all-gathered update
     queues keep the replicated guiding state bit-identical."""
