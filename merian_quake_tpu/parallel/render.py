@@ -42,6 +42,16 @@ def _state_specs(state: FrameState) -> FrameState:
         if state.svgf is not None
         else None
     )
+    restir_specs = (
+        jax.tree.map(lambda _: P(AXIS), state.restir)
+        if state.restir is not None
+        else None
+    )
+    ssmm_specs = (
+        jax.tree.map(lambda _: P(AXIS), state.ssmm)
+        if state.ssmm is not None
+        else None
+    )
     vol_specs = None
     if state.volume is not None:
         from ..render.mcpg.volume import VolumeState
@@ -61,8 +71,8 @@ def _state_specs(state: FrameState) -> FrameState:
         mcpg=rep,
         volume=vol_specs,
         accum_volume=img(state.accum_volume),
-        restir=None,
-        ssmm=None,
+        restir=restir_specs,
+        ssmm=ssmm_specs,
         svgf=svgf_specs,
         taa_prev=img(state.taa_prev),
     )
@@ -70,10 +80,6 @@ def _state_specs(state: FrameState) -> FrameState:
 
 def init_state_sharded(mesh: Mesh, config: RenderConfig, mcpg_config=None) -> FrameState:
     state = init_state(config, mcpg_config)
-    assert state.restir is None and state.ssmm is None, (
-        "sharded rendering supports pt/mcpg(+volume); restir/ssmm "
-        "spatial reuse needs full-frame neighborhoods"
-    )
     specs = _state_specs(state)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs
@@ -120,13 +126,11 @@ def render_frame_sharded(
                 order = (1, 0, 2) + tuple(range(3, g.ndim))
                 return g.transpose(order).reshape((-1,) + x.shape[1:])
 
-            shard_ctx = None
-            if cfg.denoise:
-                from ..post.sharded import ShardCtx
+            from ..post.sharded import ShardCtx
 
-                shard_ctx = ShardCtx(
-                    axis=AXIS, n=n, rows=rows, height=cfg.height
-                )
+            shard_ctx = ShardCtx(
+                axis=AXIS, n=n, rows=rows, height=cfg.height
+            )
 
             new_state, outputs = frame_core(
                 accel,

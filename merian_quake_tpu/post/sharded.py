@@ -67,6 +67,16 @@ class ShardCtx(NamedTuple):
         g = jax.lax.all_gather(x, self.axis)  # (n, rows, ...)
         return g.reshape((self.height,) + x.shape[1:])
 
+    def gather_flat(self, x, width: int):
+        """Flat (rows·W[, C]) slab buffer → full flat (H·W[, C]) buffer
+        in the FULL image's flat layout (via image space, so tiled flat
+        layouts stay consistent on both sides)."""
+        from ..render import layout
+
+        img = layout.flat_to_image(x, width, self.rows)
+        full = self.gather_rows(img)
+        return layout.image_to_flat(full, width, self.height)
+
 
 def svgf_sharded(
     ctx: ShardCtx,

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ...accel.build import AccelScene
@@ -92,17 +93,35 @@ def render_restir(
     rcfg: ReSTIRConfig,
     rstate: ReSTIRState,
     gbuf: GBufferOutput,
+    y0=0,
+    rows: int | None = None,
+    shard_ctx=None,
 ):
-    """Full-frame ReSTIR DI. Returns (irradiance[H,W,4], new ReSTIRState)."""
+    """ReSTIR DI over image rows [y0, y0+rows). Returns
+    (irradiance[rows,W,4], new ReSTIRState slabs).
+
+    Under sharding (``shard_ctx``), cross-pixel reads — the previous
+    frame's reservoirs/geometry (temporal reuse at motion-vector
+    targets), the post-temporal reservoirs + current geometry (spatial
+    neighbors within the 30 px radius), and the 8×8 boiling-filter tile
+    means — come from all-gathered full images; generation, reuse math,
+    shading and the visibility rays stay per-local-pixel, so the result
+    matches single-device (tested)."""
     W, H = config.width, config.height
-    n = W * H
-    pxf, pyf = layout.gen_pixels(W, H)
+    rows = H if rows is None else rows
+    n = W * rows
+    pxf, pyf = layout.gen_pixels(W, rows, y0=y0)
+    gf = (
+        (lambda x: x)
+        if shard_ctx is None
+        else (lambda x: shard_ctx.gather_flat(x, W))
+    )
 
     surf = decompress_hit(gbuf.hits)
     pixel_live = (surf.albedo >= 1e-7).any(axis=-1)
-    normal = layout.image_to_flat(gbuf.normal, W, H)
-    linear_z = layout.image_to_flat(gbuf.linear_z, W, H)
-    vel_z = layout.image_to_flat(gbuf.z_vel, W, H)
+    normal = layout.image_to_flat(gbuf.normal, W, rows)
+    linear_z = layout.image_to_flat(gbuf.linear_z, W, rows)
+    vel_z = layout.image_to_flat(gbuf.z_vel, W, rows)
 
     # ---------- pass 1: generate (BSDF candidates) ----------
     rng = _seed(pxf, pyf, uniforms.frame, 0, config.seed)
@@ -148,7 +167,7 @@ def render_restir(
     r = rsv.reservoir_init(n)
     rng, r, _ = rsv.combine_finalized(r, rng, cur, cur.p_target)
 
-    mv = layout.image_to_flat(gbuf.mv, W, H)
+    mv = layout.image_to_flat(gbuf.mv, W, rows)
     ppx = jnp.round(pxf.astype(jnp.float32) + mv[:, 0]).astype(jnp.int32)
     ppy = jnp.round(pyf.astype(jnp.float32) + mv[:, 1]).astype(jnp.int32)
     inb = (ppx >= 0) & (ppx < W) & (ppy >= 0) & (ppy < H)
@@ -156,8 +175,11 @@ def render_restir(
         jnp.clip(ppx, 0, W - 1), jnp.clip(ppy, 0, H - 1), W, H
     )
 
-    prev_n = jnp.take(rstate.prev_normal, pidx, axis=0)
-    prev_z = jnp.take(rstate.prev_linear_z, pidx)
+    prev_normal_f = gf(rstate.prev_normal)
+    prev_z_f = gf(rstate.prev_linear_z)
+    prev_res_f = Reservoir(*[gf(x) for x in rstate.reservoirs])
+    prev_n = jnp.take(prev_normal_f, pidx, axis=0)
+    prev_z = jnp.take(prev_z_f, pidx)
     tvalid = (
         inb
         & (uniforms.frame > 0)
@@ -166,7 +188,7 @@ def render_restir(
             linear_z, vel_z, prev_z, rcfg.temporal_depth_reject,
         )
     )
-    prev = Reservoir(*[jnp.take(x, pidx, axis=0) for x in rstate.reservoirs])
+    prev = Reservoir(*[jnp.take(x, pidx, axis=0) for x in prev_res_f])
     if rcfg.apply_mv:
         dt = (uniforms.cl_time - prev.y_T)[..., None]
         prev = prev._replace(
@@ -186,7 +208,8 @@ def render_restir(
     else:
         pi = combined.p_target
         pi_sum = combined.p_target * cur.M.astype(jnp.float32)
-        prev_surf = Hit(*[jnp.take(x, pidx, axis=0) for x in surf])
+        surf_full = Hit(*[gf(x) for x in surf])
+        prev_surf = Hit(*[jnp.take(x, pidx, axis=0) for x in surf_full])
         temporal_p = target_pdf(
             combined.y_pos, combined.y_normal, combined.y_radiance, prev_surf
         )
@@ -209,8 +232,10 @@ def render_restir(
     # boiling filter: per-8×8-tile mean (the reference's subgroup ==
     # its 8×8 workgroup, restir_di_temporal_reuse.comp:39-70)
     if rcfg.boiling_filter_strength > 1e-6:
+        # GLOBAL 8×8 tile means (tiles align to image row 0, so shard
+        # slabs gather the full weight image and slice their rows)
         mult = 10.0 / rcfg.boiling_filter_strength - 9.0
-        wimg = layout.flat_to_image(r.w, W, H)
+        wimg = layout.flat_to_image(gf(r.w), W, H)
         th, tw = H // 8, W // 8
         tiles = wimg[: th * 8, : tw * 8].reshape(th, 8, tw, 8)
         cnt = (tiles > 0).sum((1, 3)).astype(jnp.float32)
@@ -218,12 +243,20 @@ def render_restir(
         mean_full = jnp.repeat(jnp.repeat(mean, 8, 0), 8, 1)
         pad_h, pad_w = H - th * 8, W - tw * 8
         mean_full = jnp.pad(mean_full, ((0, pad_h), (0, pad_w)), mode="edge")
-        boiling = r.w > layout.image_to_flat(mean_full, W, H) * mult
+        mean_rows = jax.lax.dynamic_slice_in_dim(mean_full, y0, rows, 0)
+        boiling = r.w > layout.image_to_flat(mean_rows, W, rows) * mult
         r = rsv.discard(r, boiling)
 
     # ---------- pass 3: spatial reuse ----------
     rng = _seed(pxf, pyf, uniforms.frame, 2, config.seed)
     spatial_in = r
+    sp_full = (
+        spatial_in
+        if shard_ctx is None
+        else Reservoir(*[gf(x) for x in spatial_in])
+    )
+    normal_full = gf(normal)
+    z_full = gf(linear_z)
     r = rsv.reservoir_init(n)
     rng, r, _ = rsv.combine_finalized(r, rng, spatial_in, spatial_in.p_target)
     neighbors = []
@@ -242,14 +275,14 @@ def render_restir(
         )
         nvalid = inb_s & _reproj_valid(
             normal,
-            jnp.take(normal, nidx, axis=0),
+            jnp.take(normal_full, nidx, axis=0),
             rcfg.spatial_normal_reject_cos,
             linear_z,
             vel_z,
-            jnp.take(linear_z, nidx),
+            jnp.take(z_full, nidx),
             rcfg.spatial_depth_reject,
         )
-        nb = Reservoir(*[jnp.take(x, nidx, axis=0) for x in spatial_in])
+        nb = Reservoir(*[jnp.take(x, nidx, axis=0) for x in sp_full])
         p_tgt_nb = target_pdf(nb.y_pos, nb.y_normal, nb.y_radiance, surf)
         rng, r, took = rsv.combine_finalized(r, rng, nb, p_tgt_nb, mask=nvalid)
         sel_idx = jnp.where(took, i, sel_idx)
@@ -259,8 +292,9 @@ def render_restir(
     else:
         pi = r.p_target
         pi_sum = r.p_target * spatial_in.M.astype(jnp.float32)
+        surf_full_s = Hit(*[gf(x) for x in surf])
         for i, (nidx, nvalid, nb_m) in enumerate(neighbors):
-            nb_surf = Hit(*[jnp.take(x, nidx, axis=0) for x in surf])
+            nb_surf = Hit(*[jnp.take(x, nidx, axis=0) for x in surf_full_s])
             sp = target_pdf(r.y_pos, r.y_normal, r.y_radiance, nb_surf)
             if rcfg.spatial_bias_correction == 2:
                 from ...accel.intersect import trace_visibility
@@ -313,7 +347,7 @@ def render_restir(
     )
     lum = color_ops.yuv_luminance(irr)
     img = layout.flat_to_image(
-        jnp.concatenate([irr, (lum * lum)[..., None]], -1), W, H
+        jnp.concatenate([irr, (lum * lum)[..., None]], -1), W, rows
     )
 
     new_state = ReSTIRState(

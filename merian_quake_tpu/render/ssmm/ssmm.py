@@ -107,20 +107,54 @@ def render_ssmm(
     scfg: SSMMConfig,
     sstate: SSMMState,
     gbuf: GBufferOutput,
+    y0=0,
+    rows: int | None = None,
+    shard_ctx=None,
 ):
-    """Full-frame SSMM pass. Returns (irradiance[H,W,4], new SSMMState)."""
+    """SSMM pass over image rows [y0, y0+rows). Returns
+    (irradiance[rows,W,4], new SSMMState slabs).
+
+    Under sharding, the previous-frame state/geometry neighborhood
+    reads (±15 px jitter at the mv target) come from all-gathered full
+    buffers, and the lane-shuffle proposal exchange stays the EXACT
+    global roll: each device passes its last flat lane to the next via
+    lax.ppermute (wrapping at the mesh edge)."""
     W, H = config.width, config.height
-    n = W * H
-    pxf, pyf = layout.gen_pixels(W, H)
+    rows = H if rows is None else rows
+    n = W * rows
+    pxf, pyf = layout.gen_pixels(W, rows, y0=y0)
     rng = rng_ops.seed_pixel(pxf, pyf, uniforms.frame, config.seed)
+    gf = (
+        (lambda x: x)
+        if shard_ctx is None
+        else (lambda x: shard_ctx.gather_flat(x, W))
+    )
 
     surf = decompress_hit(gbuf.hits)
     live = (surf.albedo >= 1e-7).any(axis=-1)
-    normal_img = layout.image_to_flat(gbuf.normal, W, H)
-    z_img = layout.image_to_flat(gbuf.linear_z, W, H)
-    mv = layout.image_to_flat(gbuf.mv, W, H)
+    normal_img = gf(layout.image_to_flat(gbuf.normal, W, rows))
+    z_img = gf(layout.image_to_flat(gbuf.linear_z, W, rows))
+    mv = layout.image_to_flat(gbuf.mv, W, rows)
     cam_x = uniforms.cam_x
     alpha_r = bsdf.roughness_to_alpha(surf.roughness)
+    sstate_full = (
+        sstate if shard_ctx is None else SSMMState(*[gf(x) for x in sstate])
+    )
+
+    if shard_ctx is None:
+        roll_state = lambda t: SSMMState(
+            *[jnp.roll(x, 1, axis=0) for x in t]
+        )
+    else:
+        import jax
+
+        perm = [(i, (i + 1) % shard_ctx.n) for i in range(shard_ctx.n)]
+
+        def _roll1(x):
+            recv = jax.lax.ppermute(x[-1:], shard_ctx.axis, perm)
+            return jnp.concatenate([recv, x[:-1]], axis=0)
+
+        roll_state = lambda t: SSMMState(*[_roll1(x) for x in t])
 
     curr = _state_new(n)
     tent = _state_new(n)
@@ -128,7 +162,8 @@ def render_ssmm(
 
     for s in range(config.spp):
         # subgroup shuffle → roll the tentative state one pixel over
-        tent = SSMMState(*[jnp.roll(x, 1, axis=0) for x in tent])
+        # (global roll; crosses shard borders via ppermute when sharded)
+        tent = roll_state(tent)
 
         # ---- read_neighbour_state (ssmm.comp:99-121) ----
         base_x = pxf.astype(jnp.float32) + mv[:, 0]
@@ -152,7 +187,7 @@ def render_ssmm(
             ox = jnp.clip((base_x).astype(jnp.int32) + off[:, 0], 0, W - 1)
             oy = jnp.clip((base_y).astype(jnp.int32) + off[:, 1], 0, H - 1)
             oidx = layout.index_of(ox, oy, W, H)
-            cand = SSMMState(*[jnp.take(x, oidx, axis=0) for x in sstate])
+            cand = SSMMState(*[jnp.take(x, oidx, axis=0) for x in sstate_full])
             other = _state_score(
                 cand, surf.pos, surf.normal, normal_img, z_img, cam_x, oidx
             )
@@ -255,6 +290,6 @@ def render_ssmm(
     new_state = _sel(live, curr, sstate)
 
     img = layout.flat_to_image(
-        jnp.concatenate([irr, m2[..., None]], axis=-1), W, H
+        jnp.concatenate([irr, m2[..., None]], axis=-1), W, rows
     )
     return img, new_state

@@ -185,7 +185,9 @@ def frame_core(
     elif config.integrator == "restir":
         from .render.restir import ReSTIRConfig, render_restir
 
-        assert rows == config.height, "restir spatial reuse needs full frame"
+        assert rows == config.height or shard_ctx is not None, (
+            "restir spatial reuse needs the full frame or a shard_ctx"
+        )
         irr, new_restir = render_restir(
             accel,
             atlas,
@@ -194,11 +196,16 @@ def frame_core(
             mcpg_config or ReSTIRConfig(),
             state.restir,
             gbuf,
+            y0=y0,
+            rows=rows,
+            shard_ctx=shard_ctx,
         )
     elif config.integrator == "ssmm":
         from .render.ssmm import SSMMConfig, render_ssmm
 
-        assert rows == config.height, "ssmm neighborhood reads need full frame"
+        assert rows == config.height or shard_ctx is not None, (
+            "ssmm neighborhood reads need the full frame or a shard_ctx"
+        )
         irr, new_ssmm = render_ssmm(
             accel,
             atlas,
@@ -207,6 +214,9 @@ def frame_core(
             mcpg_config or SSMMConfig(),
             state.ssmm,
             gbuf,
+            y0=y0,
+            rows=rows,
+            shard_ctx=shard_ctx,
         )
     else:
         irr = render_pt(accel, atlas, uniforms, config, gbuf, y0=y0, rows=rows)

@@ -148,6 +148,85 @@ def test_sharded_mcpg_volume_matches_single_device():
     assert float(np.asarray(st8.accum_volume)[..., :3].max()) > 0.0
 
 
+def test_sharded_restir_matches_single_device():
+    """ReSTIR DI under shard_map: temporal reuse against the gathered
+    previous frame, spatial neighbors + boiling tiles from gathered
+    full images — matches single-device."""
+    import jax.numpy as jnp
+
+    from merian_quake_tpu.accel.build import scene_features
+    from merian_quake_tpu.render.restir import ReSTIRConfig
+
+    bundle = cornell_box()
+    accel = build_accel(bundle.scene, bundle.atlas)
+    config = RenderConfig(
+        width=48, height=32, spp=1, integrator="restir",
+        features=scene_features(bundle.scene, bundle.uniforms, bundle.atlas),
+    )
+    rcfg = ReSTIRConfig(
+        spatial_reuse_iterations=2,
+        temporal_bias_correction=1,
+        spatial_bias_correction=1,
+        boiling_filter_strength=0.5,
+        spatial_radius=8.0,
+    )
+    mesh = make_mesh(8)
+    st8 = init_state_sharded(mesh, config, rcfg)
+    st1 = init_state(config, rcfg)
+    u = bundle.uniforms
+    for i in range(3):  # temporal reuse crosses shard borders via mv
+        u = u._replace(frame=jnp.uint32(i))
+        st8, ldr8, hdr8 = render_frame_sharded(
+            mesh, accel, bundle.atlas, u, config, st8, rcfg
+        )
+        st1, out1 = render_frame(accel, bundle.atlas, u, config, st1, rcfg)
+    np.testing.assert_allclose(
+        np.asarray(ldr8), np.asarray(out1["ldr"]), atol=3e-5
+    )
+    # reservoir weights: RIS accept thresholds are discrete — f32
+    # reassociation between the two XLA programs may flip a handful of
+    # stochastic reuse decisions (the image above still matches)
+    w8 = np.asarray(st8.restir.reservoirs.w)
+    w1 = np.asarray(st1.restir.reservoirs.w)
+    close = np.abs(w8 - w1) <= 1e-4 + 1e-4 * np.abs(w1)
+    assert close.mean() > 0.99, close.mean()
+    assert float(np.asarray(st8.restir.reservoirs.M).max()) > 1
+
+
+def test_sharded_ssmm_matches_single_device():
+    """SSMM under shard_map: exact global proposal roll via ppermute,
+    gathered previous-state neighborhood — matches single-device."""
+    import jax.numpy as jnp
+
+    from merian_quake_tpu.accel.build import scene_features
+    from merian_quake_tpu.render.ssmm import SSMMConfig
+
+    bundle = cornell_box()
+    accel = build_accel(bundle.scene, bundle.atlas)
+    config = RenderConfig(
+        width=48, height=32, spp=2, integrator="ssmm",
+        features=scene_features(bundle.scene, bundle.uniforms, bundle.atlas),
+    )
+    scfg = SSMMConfig()
+    mesh = make_mesh(8)
+    st8 = init_state_sharded(mesh, config, scfg)
+    st1 = init_state(config, scfg)
+    u = bundle.uniforms
+    for i in range(3):
+        u = u._replace(frame=jnp.uint32(i))
+        st8, ldr8, hdr8 = render_frame_sharded(
+            mesh, accel, bundle.atlas, u, config, st8, scfg
+        )
+        st1, out1 = render_frame(accel, bundle.atlas, u, config, st1, scfg)
+    np.testing.assert_allclose(
+        np.asarray(ldr8), np.asarray(out1["ldr"]), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(st8.ssmm.sum_w), np.asarray(st1.ssmm.sum_w), atol=1e-4
+    )
+    assert float(np.asarray(st8.ssmm.sum_w).max()) > 0.0
+
+
 def test_sharded_mcpg_matches_single_device():
     """Full MCPG training step over the mesh: all-gathered update
     queues keep the replicated guiding state bit-identical."""
