@@ -118,6 +118,11 @@ def _load() -> ctypes.CDLL:
     lib.mq_game_trace.argtypes = [
         ctypes.c_void_p, _c_float_p, _c_float_p, _c_float_p, _c_float_p,
         ctypes.c_int, ctypes.c_int, _c_float_p]
+    lib.mq_game_save.argtypes = [
+        ctypes.c_void_p, _c_u8_p, ctypes.c_longlong]
+    lib.mq_game_save.restype = ctypes.c_longlong
+    lib.mq_game_restore.argtypes = [
+        ctypes.c_void_p, _c_u8_p, ctypes.c_longlong]
     _LIB = lib
     return lib
 
@@ -487,6 +492,37 @@ class QuakeHost:
             self._lib.mq_game_execute(self._h, fn_name.encode(), self_ent),
             f"execute {fn_name}",
         )
+
+    def save_state(self) -> bytes:
+        """Checkpoint the full dynamic game state (SURVEY.md §5: the
+        reference's Quake savegame seam). Restore onto a host with the
+        same progs + world loaded."""
+        size = self._lib.mq_game_save(self._h, None, 0)
+        buf = np.zeros(int(size), np.uint8)
+        got = self._lib.mq_game_save(
+            self._h, buf.ctypes.data_as(_c_u8_p), size
+        )
+        assert got == size
+        return buf.tobytes()
+
+    def restore_state(self, blob: bytes):
+        buf = np.frombuffer(bytearray(blob), np.uint8)
+        self._check(
+            self._lib.mq_game_restore(
+                self._h, buf.ctypes.data_as(_c_u8_p), len(blob)
+            ),
+            "restore_state",
+        )
+
+    def save(self, path: str):
+        """Write a savegame file (≈ Host_Savegame_f)."""
+        with open(path, "wb") as f:
+            f.write(self.save_state())
+
+    def load(self, path: str):
+        """Load a savegame file (≈ Host_Loadgame_f)."""
+        with open(path, "rb") as f:
+            self.restore_state(f.read())
 
     def player_state(self) -> PlayerState:
         p = self._lib.mq_game_player(self._h)

@@ -213,6 +213,19 @@ void mq_game_trace(void* h, const float* start, const float* mins,
   out[9] = (float)t.ent;
 }
 
+// ---- checkpoint / resume (host.h SaveState/RestoreState) ----
+// Two-call protocol: size query (buf = null), then fill.
+long long mq_game_save(void* h, uint8_t* buf, long long cap) {
+  std::string s = ((GameHost*)h)->SaveState();
+  if (buf && cap >= (long long)s.size())
+    std::memcpy(buf, s.data(), s.size());
+  return (long long)s.size();
+}
+
+int mq_game_restore(void* h, const uint8_t* buf, long long len) {
+  return ((GameHost*)h)->RestoreState(buf, (size_t)len) ? 1 : 0;
+}
+
 // run a named QC function with self = ent (tests / console-command hooks)
 int mq_game_execute(void* h, const char* fnname, int self_ent) {
   auto& pr = ((GameHost*)h)->progs();

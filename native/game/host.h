@@ -157,6 +157,17 @@ class GameHost {
     return ambient_sounds_;
   }
   const std::string& changelevel() const { return changelevel_; }
+
+  // ---- checkpoint / resume (SURVEY.md §5: the reference checkpoints
+  // game state via Quake's own save system; this is the equivalent
+  // seam for the clean-room host). Serializes every piece of DYNAMIC
+  // state — VM globals/edicts/dynamic strings, server time, player,
+  // lightstyles, precache name lists, statics, ambient sounds, cvars,
+  // RNG — into a versioned binary blob. Restore requires a host with
+  // the SAME progs.dat and world loaded (static tables are not saved).
+  std::string SaveState() const;
+  bool RestoreState(const uint8_t* data, size_t len);
+
   bool MoveStepPublic(int ent, const float* move, bool relink);
   Trace TracePublic(const float* start, const float* mins, const float* maxs,
                     const float* end, int type, int passedict) {

@@ -156,6 +156,12 @@ class Progs {
   // Zero + grow the edict pool (world + headroom), done once after load.
   void InitEdicts(int max_edicts);
 
+  // ---- checkpoint / resume: dynamic VM state only (globals, edicts,
+  // dynamic strings). Static tables (statements, defs, strings_) come
+  // from the progs.dat image and must already be loaded on restore.
+  void SaveState(std::string& out) const;
+  bool RestoreState(const char*& p, const char* end);
+
  private:
   int RunFunction(int fnum);  // returns -1; appends to error_ on fault
 
