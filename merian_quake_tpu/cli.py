@@ -105,6 +105,9 @@ def _cmd_play(args) -> int:
 
     w, h = (int(v) for v in args.size.split("x"))
     live = make_arena(dynamic_capacity=1024)
+    if args.load:
+        live.host.load(args.load)
+        print(f"loaded savegame {args.load} (t={live.host.time:.2f}s)")
     cfg = RenderConfig(
         width=w, height=h, spp=args.spp,
         max_path_length=args.max_path_length,
@@ -142,6 +145,9 @@ def _cmd_play(args) -> int:
         f"health {ps.health:.0f}"
     )
     print(f"wrote {args.out}")
+    if args.save:
+        live.host.save(args.save)
+        print(f"saved game to {args.save} (t={live.host.time:.2f}s)")
     return 0
 
 
@@ -288,6 +294,10 @@ def main(argv=None) -> int:
     pl.add_argument(
         "--save-all", action="store_true", help="write every frame's PNG"
     )
+    pl.add_argument("--save", default=None, metavar="FILE",
+                    help="write a savegame after the run (Host_Savegame)")
+    pl.add_argument("--load", default=None, metavar="FILE",
+                    help="restore a savegame before the run (Host_Loadgame)")
     pl.add_argument("--out", default="/tmp/mq_play.png")
     pl.set_defaults(fn=_cmd_play)
 
