@@ -24,7 +24,7 @@ import json
 
 import numpy as np
 
-from .metrics import relmse
+from .metrics import relmse, relmse_trimmed
 
 
 def _run(bundle, config, integ_config, frames):
@@ -87,6 +87,8 @@ def certify_presets(
         )
         e_test = float(relmse(test, truth))
         e_pt = float(relmse(pt_eq, truth))
+        t_test = float(relmse_trimmed(test, truth))
+        t_pt = float(relmse_trimmed(pt_eq, truth))
         results[name] = {
             "integrator": cfg.integrator,
             "resolution": f"{W}x{H}",
@@ -96,8 +98,16 @@ def certify_presets(
             "relmse": e_test,
             "relmse_pt_equal_budget": e_pt,
             "ratio_vs_pt": e_test / max(e_pt, 1e-12),
+            # the plain mean is dominated by low-pdf fireflies at modest
+            # budgets (plain PT's own image mean varies ±30% seed-to-seed
+            # on occluded-light scenes) — the 0.1%-trimmed statistic
+            # tracks bulk convergence
+            "relmse_trimmed": t_test,
+            "relmse_trimmed_pt": t_pt,
+            "ratio_trimmed_vs_pt": t_test / max(t_pt, 1e-12),
             "target": "within 5% of the Vulkan reference at equal spp "
-                      "(BASELINE.md); tracked proxy: ratio_vs_pt",
+                      "(BASELINE.md); tracked proxies: ratio_vs_pt, "
+                      "ratio_trimmed_vs_pt",
         }
     if out_path:
         with open(out_path, "w") as f:

@@ -25,6 +25,20 @@ def relmse(img, ref, eps: float = 1e-2) -> float:
     return float(np.mean((img - ref) ** 2 / (ref**2 + eps)))
 
 
+def relmse_trimmed(img, ref, eps: float = 1e-2, trim: float = 1e-3) -> float:
+    """relMSE with the top ``trim`` fraction of per-value errors
+    discarded. Path-tracing estimators are heavy-tailed (a handful of
+    low-pdf fireflies can dominate the plain mean at modest budgets —
+    measured: plain PT's image MEAN varies ±30% seed-to-seed on an
+    occluded-light scene at 48×1 spp); the trimmed statistic tracks the
+    bulk convergence the plain metric drowns out."""
+    img = np.asarray(img, np.float64)
+    ref = np.asarray(ref, np.float64)
+    e = ((img - ref) ** 2 / (ref**2 + eps)).ravel()
+    k = max(int(e.size * (1.0 - trim)), 1)
+    return float(np.mean(np.partition(e, k - 1)[:k]))
+
+
 def combine_images(images) -> np.ndarray:
     """Average independent runs into a reference (combine_images.py)."""
     return np.mean([np.asarray(i, np.float64) for i in images], axis=0)
