@@ -235,7 +235,7 @@ def _kernel_resident(
     order_ref, te_ref, cb_ref, rays_ref, w_ref, t0_ref, i0_ref, out_ref,
     idx_ref,
     *, max_visits=None, start_visit=0, simple=False, group=1,
-    anyhit=False, percull=True, fastdiv=False, subgate=1,
+    anyhit=False, percull=True, fastdiv=False, subgate=1, compact=0,
 ):
     """Per-ray-block sweep with the WHOLE Woop table resident in VMEM.
 
@@ -355,6 +355,31 @@ def _kernel_resident(
                             simple=simple, anyhit=anyhit, fastdiv=fastdiv,
                             col0=s2 * sz, ncol=sz,
                         )
+            elif percull and compact > 0 and not anyhit:
+                # compacted visit (see _intersect_tile_compact): tiles
+                # where ≤``compact`` rays reach run at C×compact pairs;
+                # denser tiles (the genuinely useful ones) run full
+                row = reach_row(jg)
+                cnt = jnp.sum(row)
+                gate_c = (cnt > 0.0) & (cnt <= float(compact))
+                gate_f = cnt > float(compact)
+                if group > 1:
+                    gate_c = gate_c & in_range
+                    gate_f = gate_f & in_range
+
+                @pl.when(gate_c)
+                def _(cid=cid, row=row):
+                    _intersect_tile_compact(
+                        rays_ref, w_ref[cid], out_ref, idx_ref, cid,
+                        row, compact, simple=simple, fastdiv=fastdiv,
+                    )
+
+                @pl.when(gate_f)
+                def _(cid=cid):
+                    _intersect_tile(
+                        rays_ref, w_ref[cid], out_ref, idx_ref, cid,
+                        simple=simple, anyhit=anyhit, fastdiv=fastdiv,
+                    )
             else:
                 gate = in_range & reachable(jg) if percull else in_range
                 if gate is True:
@@ -377,6 +402,103 @@ def _kernel_resident(
         cond, body,
         (jnp.int32(j0), horizon0, (j0 < nc) & (te_at(j0) <= horizon0)),
     )
+
+
+def _intersect_tile_compact(
+    rays_ref, w, out_ref, idx_ref, cluster_id, row, ncomp,
+    simple=False, fastdiv=False,
+):
+    """Visit a tile with the reaching rays COMPACTED onto ``ncomp``
+    MXU columns (round-3 pair-waste fix): within a visited tile
+    typically <10-20% of the block's rays can actually reach the
+    cluster (docs/perf_notes_r2.md), yet the full tile tests all
+    B×C pairs. Here the per-ray reach row (already computed for the
+    tile gate) builds a one-hot selection matrix P via a lane
+    prefix-sum, the reaching rays are gathered onto ncomp columns with
+    ONE matmul (exact: P entries are 0/1, one nonzero per column), the
+    Woop tile runs at C×ncomp pairs instead of C×B, and winners
+    scatter back through Pᵀ. Caller guarantees count(row) ≤ ncomp.
+    """
+    div = _fast_div if fastdiv else (lambda n, d: n / d)
+    B = rays_ref.shape[1]
+    # exclusive per-lane rank among reaching rays. Mosaic has no cumsum
+    # primitive → log-shift prefix sum via pltpu.roll + lane masking
+    # (~log2(B) roll/where/add rounds on a (1, B) row)
+    incl = row
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1)
+    s = 1
+    while s < B:
+        sh = pltpu.roll(incl, s, 1)
+        incl = incl + jnp.where(lane >= s, sh, 0.0)
+        s *= 2
+    rank = incl - row  # (1, B) f32
+    slot = jax.lax.broadcasted_iota(jnp.float32, (ncomp, B), 0)
+    P = jnp.where((rank == slot) & (row > 0.0), 1.0, 0.0)  # (ncomp, B)
+    dotn = lambda a, b, dims: jax.lax.dot_general(
+        a, b, dimension_numbers=(dims, ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    rc = dotn(rays_ref[:], P, ((1,), (1,)))  # (8, ncomp) compacted rays
+    best0 = dotn(out_ref[0:1, :], P, ((1,), (1,)))  # (1, ncomp)
+    # unselected columns come back all-zero: kill them via t_max = -1
+    colsel = dotn(jnp.ones((1, B), jnp.float32), P, ((1,), (1,)))
+    t_min, t_max = rc[6:7], jnp.where(colsel > 0.0, rc[7:8], -1.0)
+
+    o_aug = jnp.concatenate(
+        [rc[0:3], jnp.ones_like(rc[0:1]), rc[4:8]], axis=0
+    )
+    d_aug = jnp.concatenate(
+        [rc[3:6], jnp.zeros_like(rc[0:1]), rc[4:8]], axis=0
+    )
+    rhs = jnp.concatenate([o_aug, d_aug], axis=1)  # (8, 2*ncomp)
+    big = jax.lax.dot_general(
+        w, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    C = w.shape[1] // 3
+    nc2 = ncomp
+    u0 = big[0:C, 0:nc2]
+    v0 = big[C : 2 * C, 0:nc2]
+    z0 = big[2 * C : 3 * C, 0:nc2]
+    du = big[0:C, nc2 : 2 * nc2]
+    dv = big[C : 2 * C, nc2 : 2 * nc2]
+    dz = big[2 * C : 3 * C, nc2 : 2 * nc2]
+    z0n = -z0
+    U = u0 * dz - z0 * du
+    V = v0 * dz - z0 * dv
+    if simple:
+        m = jnp.minimum(
+            jnp.minimum(jnp.minimum(U, V), dz - U - V),
+            jnp.minimum(dz - 1e-12, t_max * dz - z0n),
+        )
+        ok = (m >= 0.0) & (z0n > 0.0)
+        t = div(z0n, jnp.where(ok, dz, 1.0))
+    else:
+        front = dz > 1e-12
+        ok = (
+            front
+            & (U >= 0.0)
+            & (V >= 0.0)
+            & (U + V <= dz)
+            & (z0n > t_min * dz)
+            & (z0n <= t_max * dz)
+        )
+        t = div(z0n, jnp.where(front, dz, 1.0))
+    t_m = jnp.where(ok, t, BIG)
+    best_t = jnp.minimum(jnp.min(t_m, axis=0), best0[0, :])  # (ncomp,)
+    arg = jnp.argmin(t_m, axis=0)
+
+    # scatter winners back through Pᵀ (one nonzero per P column →
+    # exact); idx rides as integer-valued f32 (tri ids < 2^24)
+    t_back = dotn(best_t[None, :], P, ((1,), (0,)))  # (1, B)
+    a_back = dotn(arg.astype(jnp.float32)[None, :], P, ((1,), (0,)))
+    better = (row > 0.0) & (t_back < out_ref[0:1, :])
+    out_ref[0, :] = jnp.where(better, t_back, out_ref[0:1, :])[0, :]
+    idx_ref[0, :] = jnp.where(
+        better,
+        cluster_id * C + a_back.astype(jnp.int32),
+        idx_ref[0:1, :],
+    )[0, :]
 
 
 def _fast_div(num, den):
@@ -501,6 +623,153 @@ def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id,
     )
 
 
+def _slab_te_lanes(rays, cb_at, c, limit=None):
+    """Per-lane slab entry parameter against cluster ``c`` (static id).
+
+    rays: (8, B) VMEM block; cb_at(c, k): SMEM scalar loads of the
+    cluster bounds table (rows lo.xyz, hi.xyz). Returns (1, B) f32:
+    max(t_enter, 0) where the ray's [0, limit] interval intersects the
+    box, else +inf. ``limit`` defaults to the per-ray t_max row (dead
+    rays with t_max < 0 produce +inf for every cluster).
+    """
+    o3 = rays[0:3, :]
+    d3 = rays[3:6, :]
+    tiny = jnp.where(d3 >= 0.0, jnp.float32(1e-20), jnp.float32(-1e-20))
+    inv_d = 1.0 / jnp.where(jnp.abs(d3) < 1e-20, tiny, d3)
+    if limit is None:
+        limit = rays[7:8, :]
+    tn = jnp.zeros_like(limit)
+    tf = limit
+    for k in range(3):
+        t1 = (cb_at(c, k) - o3[k : k + 1, :]) * inv_d[k : k + 1, :]
+        t2 = (cb_at(c, 3 + k) - o3[k : k + 1, :]) * inv_d[k : k + 1, :]
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+    return jnp.where(tn <= tf, tn, jnp.float32(np.inf))
+
+
+def _kernel_target_keys(cb_ref, rays_ref, key_ref, *, nc):
+    """Per-ray TOP-3 nearest-reachable-cluster sort key (one grid step
+    per ray block): walk every cluster's AABB, keep the three smallest
+    entry parameters per lane, and pack their cluster ids into
+    (c1 << 22) | (c2 << 14) | (c3 << 6). Rays sorted by this key are
+    grouped by the clusters they actually need, so sorted blocks'
+    reachable-cluster unions collapse (measured ~7-14x tighter than
+    origin-Morton grouping on city bounce populations). Lanes with
+    fewer than three reachable clusters carry the 0xFF sentinel (sorts
+    after real targets); XLA adds the Morton tail + dead-ray bit.
+    """
+    rays = rays_ref[:]
+    B = rays.shape[1]
+
+    def cb_at(c, k):
+        return cb_ref[0, k, c]
+
+    inf_row = jnp.full((1, B), np.inf, jnp.float32)
+    t1, t2, t3 = inf_row, inf_row, inf_row
+    sent = jnp.full((1, B), 0xFF, jnp.int32)
+    c1 = c2 = c3 = sent
+    for c in range(nc):
+        te = _slab_te_lanes(rays, cb_at, c)
+        cc = jnp.full((1, B), c, jnp.int32)
+        b1 = te < t1
+        b2 = te < t2
+        b3 = te < t3
+        t3n = jnp.where(b3, jnp.where(b2, t2, te), t3)
+        c3n = jnp.where(b3, jnp.where(b2, c2, cc), c3)
+        t2n = jnp.where(b2, jnp.where(b1, t1, te), t2)
+        c2n = jnp.where(b2, jnp.where(b1, c1, cc), c2)
+        t1 = jnp.where(b1, te, t1)
+        c1 = jnp.where(b1, cc, c1)
+        t2, t3, c2, c3 = t2n, t3n, c2n, c3n
+    key_ref[0, :] = ((c1 << 22) | (c2 << 14) | (c3 << 6))[0, :]
+
+
+def _kernel_te_union(cb_ref, rays_ref, te_ref, *, nc, nc_pad):
+    """EXACT per-block union entry parameters (one grid step per ray
+    block of ALREADY target-key-sorted rays): te[b, c] = min over the
+    block's lanes of the lane's own slab entry into c (+inf where no
+    lane reaches). Replaces the conservative interval-frustum cull
+    (_cull_t_enter) — with target-grouped blocks this is the block's
+    true reachable set, so the packet sweep's visit list shrinks to
+    the clusters some ray actually needs."""
+    rays = rays_ref[:]
+
+    def cb_at(c, k):
+        return cb_ref[0, k, c]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, nc_pad), 1)
+    acc = jnp.full((1, nc_pad), np.inf, jnp.float32)
+    for c in range(nc):
+        te = _slab_te_lanes(rays, cb_at, c)
+        m = jnp.min(te)
+        acc = jnp.where(iota == c, jnp.minimum(acc, m), acc)
+    te_ref[0, 0, :] = acc[0, :]
+
+
+def _target_keys(rays, cluster_lo, cluster_hi, ray_block, interpret=False):
+    """Pallas driver for _kernel_target_keys → i32[n] packed c1c2c3."""
+    n = rays.shape[1]
+    nb = n // ray_block
+    nc = cluster_lo.shape[0]
+    cb = jnp.concatenate(
+        [
+            jnp.asarray(cluster_lo, jnp.float32).T,
+            jnp.asarray(cluster_hi, jnp.float32).T,
+            jnp.zeros((2, nc), jnp.float32),
+        ],
+        axis=0,
+    )[None]  # (1, 8, nc)
+    out = pl.pallas_call(
+        functools.partial(_kernel_target_keys, nc=nc),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, nc), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, ray_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ray_block), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        interpret=interpret,
+    )(cb, rays)
+    return out[0]
+
+
+def _te_union(rays, cluster_lo, cluster_hi, ray_block, interpret=False):
+    """Pallas driver for _kernel_te_union → f32[nb, nc] exact union te."""
+    n = rays.shape[1]
+    nb = n // ray_block
+    nc = cluster_lo.shape[0]
+    nc_pad = ((nc + 127) // 128) * 128
+    cb = jnp.concatenate(
+        [
+            jnp.asarray(cluster_lo, jnp.float32).T,
+            jnp.asarray(cluster_hi, jnp.float32).T,
+            jnp.zeros((2, nc), jnp.float32),
+        ],
+        axis=0,
+    )[None]
+    out = pl.pallas_call(
+        functools.partial(_kernel_te_union, nc=nc, nc_pad=nc_pad),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, 8, nc), lambda i: (0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, ray_block), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        # (nb, 1, nc_pad) with trailing dims equal to the array dims —
+        # satisfies the TPU (8, 128) block-divisibility rule for any nb
+        out_specs=pl.BlockSpec((1, 1, nc_pad), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 1, nc_pad), jnp.float32),
+        interpret=interpret,
+    )(cb, rays)
+    return out[:, 0, :nc]
+
+
 def _cull_t_enter(rays, cluster_lo, cluster_hi, ray_block, subdiv: int = 4):
     """Conservative (ray-block × cluster) entry parameter.
 
@@ -619,7 +888,7 @@ def _cull_t_enter_exact(rays, cluster_lo, cluster_hi, ray_block, init_t=None,
     static_argnames=(
         "ray_block", "chunk", "interpret", "resident", "max_visits",
         "start_visit", "simple", "group", "anyhit", "percull", "fastdiv",
-        "subgate", "exact_cull",
+        "subgate", "exact_cull", "target_cull", "compact",
     ),
 )
 def intersect_woop_packed(
@@ -629,7 +898,8 @@ def intersect_woop_packed(
     init=None, max_visits: int | None = None, start_visit: int = 0,
     simple: bool = False, group: int = 1, anyhit: bool = False,
     percull: bool = True, fastdiv: bool | None = None, subgate: int = 1,
-    exact_cull: bool = False,
+    exact_cull: bool = False, target_cull: bool = False,
+    compact: int = 0,
 ):
     n = rays.shape[1]
     t = w.shape[0] // 3
@@ -647,7 +917,12 @@ def intersect_woop_packed(
         i0 = jnp.full((1, n), -1, jnp.int32)
     else:
         t0, i0 = init
-    if exact_cull and not os.environ.get("MQ_NO_EXACT_CULL"):
+    if target_cull:
+        # EXACT per-block union te from the Pallas cull kernel — the
+        # rays must already be target-key-sorted (intersect_woop)
+        te = _te_union(rays, cluster_lo, cluster_hi, ray_block,
+                       interpret=interpret)
+    elif exact_cull and not os.environ.get("MQ_NO_EXACT_CULL"):
         te = _cull_t_enter_exact(
             rays, cluster_lo, cluster_hi, ray_block,
             init_t=None if init is None else t0[0],
@@ -729,7 +1004,7 @@ def intersect_woop_packed(
                 _kernel_resident,
                 max_visits=max_visits, start_visit=start_visit,
                 simple=simple, group=group, anyhit=anyhit, percull=percull,
-                fastdiv=fastdiv, subgate=subgate,
+                fastdiv=fastdiv, subgate=subgate, compact=compact,
             ),
             in_specs=[
                 spec_order, spec_te, spec_cb, spec_rays,
@@ -873,7 +1148,7 @@ def intersect_woop(
     accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
     sort_rays=False, resident=None, chunk=None, phase1_visits=0,
     fine=None, simple=None, group=None, init_t=None, subgate=None,
-    exact_cull=None, world_clamp=True,
+    exact_cull=None, world_clamp=True, target_cull=False, compact=None,
 ):
     """HitRecord-compatible Woop-kernel intersection. Requires the accel
     to carry `woop_w` (see build_accel). ``sort_rays`` bins incoherent
@@ -912,6 +1187,10 @@ def intersect_woop(
         simple = isinstance(t_min, (int, float)) and float(t_min) == 0.0
     if subgate is None:
         subgate = int(os.environ.get("MQ_WOOP_SUBGATE", "1"))
+    if compact is None:
+        # compacted visits (MXU one-hot gather of reaching rays, see
+        # _intersect_tile_compact); 0 disables
+        compact = int(os.environ.get("MQ_WOOP_COMPACT", "0"))
     if group is None:
         # grouped visits amortize the while-loop's fixed scalar cost
         # over G tiles, at G-coarse exit granularity — measured a wash
@@ -952,38 +1231,19 @@ def intersect_woop(
             accel, o, d, jnp.broadcast_to(t_max_s, (n,))
         )
     t_all = accel.woop_w.shape[0] // 3
-    if (
+    # target-key scheduling (round 3): bounce rays are sorted by their
+    # TOP-3 nearest reachable clusters (Pallas per-ray cull) instead of
+    # direction-octant + origin Morton, and the packet sweep's visit
+    # lists come from the EXACT per-block union te (_kernel_te_union).
+    # Rays grouped by the clusters they actually need collapse the
+    # block unions (~7-14x tighter on city bounce populations).
+    use_target_key = (
         sort_rays
         and n >= ray_block
         and t_all <= RESIDENT_MAX_TRIS
-        and os.environ.get("MQ_GROUPED")
-    ):
-        # wavefront regrouping (accel/grouped.py) — exact and tested,
-        # but measured SLOWER than the packet sweep end-to-end on chip
-        # (the per-round XLA cluster scans + re-sorts outweigh the
-        # saved tile visits); kept opt-in for further scheduling work.
-        # The production win extracted from it is the EXACT per-ray
-        # union cull below (_cull_t_enter_exact).
-        from .grouped import intersect_grouped
-
-        t_min_b = jnp.broadcast_to(t_min_s, (n,))
-        t_max_b = jnp.broadcast_to(t_max_s, (n,))
-        rays = _pack_rays(o, d, t_min_b, t_max_b, ray_block)
-        init = None
-        if init_t is not None:
-            pad = (-n) % ray_block
-            t0v = init_t
-            if pad:
-                t0v = jnp.concatenate([t0v, jnp.full((pad,), BIG)])
-            init = (t0v[None], jnp.full((1, rays.shape[1]), -1, jnp.int32))
-        out, idx = intersect_grouped(
-            rays, accel.woop_w, accel.cluster_lo, accel.cluster_hi,
-            ray_block=ray_block, chunk=chunk, interpret=interpret,
-            init=init, simple=simple,
-        )
-        t_o, tri = out[0, :n], idx[0, :n]
-        t_o, u, v = _recompute_tuv(accel, o, d, t_o, tri)
-        return HitRecord(t=t_o, tri=tri, u=u, v=v)
+        and accel.cluster_lo.shape[0] <= 256
+        and bool(os.environ.get("MQ_TARGET_KEY"))
+    )
     if sort_rays and n >= ray_block:
         # permutes are done by CARRYING the data through lax.sort, not
         # by argsort + take: an n-row gather serializes on TPU
@@ -1000,12 +1260,28 @@ def intersect_woop(
         # (measured a wash minus the proxy cost). The proxy table IS
         # used by the any-hit path, where per-ray short-circuiting
         # needs no block cooperation.
-        key = _sort_keys(accel, o, d)
-        if t_max_s.ndim:
-            # masked (dead-path) rays, t_max ≤ 0: a high key bit packs
-            # them into dedicated trailing blocks whose horizon starts
-            # negative — the sweep loop never takes an iteration there
-            key = key | ((t_max_s <= 0.0).astype(jnp.uint32) << 29)
+        if use_target_key:
+            t_max_b0 = jnp.broadcast_to(t_max_s, (n,))
+            rays_tmp = _pack_rays(
+                o, d, jnp.zeros((n,)), t_max_b0, ray_block
+            )
+            key = _target_keys(
+                rays_tmp, accel.cluster_lo, accel.cluster_hi,
+                ray_block, interpret=interpret,
+            )[:n].astype(jnp.uint32)
+            # coarse Morton tail keeps same-target rays spatially packed
+            morton6 = (_sort_keys(accel, o, d) & jnp.uint32(0xFFFFFF)) >> 18
+            key = key | morton6
+            if t_max_s.ndim:
+                key = key | ((t_max_s <= 0.0).astype(jnp.uint32) << 30)
+        else:
+            key = _sort_keys(accel, o, d)
+            if t_max_s.ndim:
+                # masked (dead-path) rays, t_max ≤ 0: a high key bit
+                # packs them into dedicated trailing blocks whose
+                # horizon starts negative — the sweep loop never takes
+                # an iteration there
+                key = key | ((t_max_s <= 0.0).astype(jnp.uint32) << 29)
         key = key.astype(jnp.int32)
         iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
         ops = [key, iota, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1],
@@ -1033,7 +1309,7 @@ def intersect_woop(
             interpret=interpret, sort_rays=False, resident=resident,
             chunk=chunk, phase1_visits=phase1_visits, fine=False,
             simple=simple, group=group, init_t=init_t_s, subgate=subgate,
-            world_clamp=False,
+            world_clamp=False, target_cull=use_target_key, compact=compact,
             # exact per-ray union cull: measured a net LOSS on chip
             # (the (N, nc) slab traffic outweighs the gated visits it
             # removes — the per-visit reach gate already skips their
@@ -1055,7 +1331,8 @@ def intersect_woop(
     kw = dict(
         ray_block=ray_block, chunk=chunk, interpret=interpret,
         resident=resident, simple=simple, group=group, subgate=subgate,
-        exact_cull=bool(exact_cull),
+        exact_cull=bool(exact_cull), target_cull=bool(target_cull),
+        compact=int(compact or 0),
     )
     t = accel.woop_w.shape[0] // 3
     init = None

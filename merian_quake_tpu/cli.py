@@ -114,16 +114,62 @@ def _cmd_play(args) -> int:
         integrator=args.integrator, denoise=args.denoise,
     )
     state = init_state(cfg)
+    mixer = None
+    if args.wav:
+        from .game.audio import AudioMixer
+
+        mixer = AudioMixer()
+    console = None
+    mcfg = None
+    if args.props or args.console:
+        from .utils.props import PropertyConsole
+
+        console = PropertyConsole(args.props, use_stdin=args.console)
     dt = 1.0 / 30.0
     t0 = time.time()
     out = None
     for i in range(args.frames):
+        if console is not None:
+            patches = console.poll()
+            if patches:
+                from .utils.props import apply_patches
+
+                cfg, mcfg, reinit, unknown = apply_patches(
+                    cfg, mcfg, patches
+                )
+                for k in unknown:
+                    print(f"[props] unknown key: {k}")
+                applied = {k: v for k, v in patches.items()
+                           if k not in unknown}
+                if applied:
+                    print(f"[props] applied {applied}"
+                          + (" (state re-init)" if reinit else ""))
+                if mcfg is None and cfg.integrator != "pt":
+                    if cfg.integrator == "mcpg":
+                        from .render.mcpg import MCPGConfig as _C
+                    elif cfg.integrator == "restir":
+                        from .render.restir import ReSTIRConfig as _C
+                    else:
+                        from .render.ssmm import SSMMConfig as _C
+                    mcfg = _C()
+                    reinit = True
+                if reinit:
+                    state = init_state(cfg, mcfg)
         # scripted input: wander toward the room center, then orbit
         yaw = 20.0 + 1.2 * i
         scene, uniforms = live.step(dt, forward=180.0, yaw=yaw)
+        if mixer is not None:
+            from .game.live import angle_vectors
+
+            ps = live.host.player_state()
+            _, right, _ = angle_vectors(ps.view_angles)
+            mixer.frame(
+                live.host.time, live.host.frame_sound_events(),
+                ps.origin + ps.view_ofs, right,
+            )
         accel = build_accel(scene, live.gs.static_bundle.atlas)
         state, out = render_frame(
-            accel, live.gs.static_bundle.atlas, uniforms, cfg, state
+            accel, live.gs.static_bundle.atlas, uniforms, cfg, state, mcfg
         )
         for msg in live.messages:
             print(f"[game] {msg}")
@@ -131,11 +177,11 @@ def _cmd_play(args) -> int:
             hud = live.hud_state()
             ldr = apply_hud(out["ldr"], out["gbuffer"].linear_z, hud)
             save_png(args.out.replace(".png", f"_{i:04d}.png"),
-                     np.asarray(ldr))
+                     live.draw_overlays(np.asarray(ldr)))
     dtime = time.time() - t0
     hud = live.hud_state()
     ldr = apply_hud(out["ldr"], out["gbuffer"].linear_z, hud)
-    save_png(args.out, np.asarray(ldr))
+    save_png(args.out, live.draw_overlays(np.asarray(ldr)))
     ps = live.host.player_state()
     print(
         f"played {args.frames} frames {w}x{h} in {dtime:.2f}s "
@@ -145,6 +191,18 @@ def _cmd_play(args) -> int:
         f"health {ps.health:.0f}"
     )
     print(f"wrote {args.out}")
+    if mixer is not None:
+        from .game.live import angle_vectors
+
+        ps = live.host.player_state()
+        _, right, _ = angle_vectors(ps.view_angles)
+        mixer.set_ambients(live.host.ambient_sounds())
+        ns = mixer.write_wav(
+            args.wav, duration=live.host.time,
+            listener=ps.origin + ps.view_ofs, right=right,
+        )
+        print(f"wrote {args.wav} ({ns} samples, "
+              f"{len(mixer._voices)} voices)")
     if args.save:
         live.host.save(args.save)
         print(f"saved game to {args.save} (t={live.host.time:.2f}s)")
@@ -298,6 +356,15 @@ def main(argv=None) -> int:
                     help="write a savegame after the run (Host_Savegame)")
     pl.add_argument("--load", default=None, metavar="FILE",
                     help="restore a savegame before the run (Host_Loadgame)")
+    pl.add_argument("--wav", default=None, metavar="FILE",
+                    help="mix the run's sound events into a stereo WAV "
+                         "(the reference's SNDDMA audio seam, headless)")
+    pl.add_argument("--props", default=None, metavar="FILE",
+                    help="watch a JSON property-patch file and apply "
+                         "changes between frames (live editing, "
+                         "configuration.hpp:30-39 headlessly)")
+    pl.add_argument("--console", action="store_true",
+                    help="accept 'set <key> <json>' lines on stdin")
     pl.add_argument("--out", default="/tmp/mq_play.png")
     pl.set_defaults(fn=_cmd_play)
 

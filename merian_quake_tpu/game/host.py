@@ -92,6 +92,14 @@ def _load() -> ctypes.CDLL:
     lib.mq_game_num_sounds.argtypes = [ctypes.c_void_p]
     lib.mq_game_sound_sample.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.mq_game_sound_sample.restype = ctypes.c_char_p
+    lib.mq_game_get_sounds.argtypes = [
+        ctypes.c_void_p, _c_i32_p, _c_i32_p, _c_float_p, _c_float_p,
+        _c_float_p]
+    lib.mq_game_num_ambient_sounds.argtypes = [ctypes.c_void_p]
+    lib.mq_game_ambient_sample.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.mq_game_ambient_sample.restype = ctypes.c_char_p
+    lib.mq_game_get_ambient_sounds.argtypes = [
+        ctypes.c_void_p, _c_float_p, _c_float_p, _c_float_p]
     lib.mq_game_num_particles.argtypes = [ctypes.c_void_p]
     lib.mq_game_get_particles.argtypes = [
         ctypes.c_void_p, _c_float_p, _c_float_p, _c_float_p, _c_float_p]
@@ -433,6 +441,51 @@ class QuakeHost:
         n = self._lib.mq_game_num_sounds(self._h)
         return [
             self._lib.mq_game_sound_sample(self._h, i).decode()
+            for i in range(n)
+        ]
+
+    def frame_sound_events(self):
+        """Full per-frame sound events for the audio mixer: list of
+        (ent, channel, sample, volume, attenuation, origin[3])."""
+        n = self._lib.mq_game_num_sounds(self._h)
+        if n == 0:
+            return []
+        names = [
+            self._lib.mq_game_sound_sample(self._h, i).decode()
+            for i in range(n)
+        ]
+        ent = np.zeros((n,), np.int32)
+        chan = np.zeros((n,), np.int32)
+        org = np.zeros((n, 3), np.float32)
+        vol = np.zeros((n,), np.float32)
+        att = np.zeros((n,), np.float32)
+        self._lib.mq_game_get_sounds(
+            self._h, _ip(ent), _ip(chan), _fp(org), _fp(vol), _fp(att)
+        )
+        return [
+            (int(ent[i]), int(chan[i]), names[i], float(vol[i]),
+             float(att[i]), org[i].copy())
+            for i in range(n)
+        ]
+
+    def ambient_sounds(self):
+        """Static looping ambients committed by QC ambientsound():
+        list of (sample, volume, attenuation, origin[3])."""
+        n = self._lib.mq_game_num_ambient_sounds(self._h)
+        if n == 0:
+            return []
+        names = [
+            self._lib.mq_game_ambient_sample(self._h, i).decode()
+            for i in range(n)
+        ]
+        org = np.zeros((n, 3), np.float32)
+        vol = np.zeros((n,), np.float32)
+        att = np.zeros((n,), np.float32)
+        self._lib.mq_game_get_ambient_sounds(
+            self._h, _fp(org), _fp(vol), _fp(att)
+        )
+        return [
+            (names[i], float(vol[i]), float(att[i]), org[i].copy())
             for i in range(n)
         ]
 

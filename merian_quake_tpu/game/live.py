@@ -167,6 +167,10 @@ class LiveGame:
         self._cam = None  # (pos, fwd, up)
         self._cam_prev = None
         self.view_angles = np.zeros(3, np.float32)  # caller-steered
+        # message overlay state (centerprint hold + console print log)
+        self._center_msg = ""
+        self._center_expire = 0.0
+        self._print_log: list[tuple[str, float]] = []
 
     # ---- per-frame ----
     def _build_statics(self):
@@ -225,6 +229,7 @@ class LiveGame:
         )
         self.host.frame(dt)
         t = self.host.time
+        self._update_overlays(t)
         if not self._statics_built:
             self._build_statics()
 
@@ -317,3 +322,55 @@ class LiveGame:
         """This frame's console prints + centerprints (overlay text,
         merian-quake.cpp:220-267)."""
         return self.host.prints() + self.host.centerprints()
+
+    # ---- on-screen message overlays (QuakeMessageOverlay,
+    # merian-quake.cpp:55-131: centerprint centered in the upper third
+    # with a hold time, console prints as a fading top-left log) ----
+    CENTER_HOLD = 2.0  # scr_centertime default
+    PRINT_HOLD = 4.0
+    PRINT_LINES = 4
+
+    def _update_overlays(self, t: float):
+        for msg in self.host.centerprints():
+            self._center_msg = msg
+            self._center_expire = t + self.CENTER_HOLD
+        for msg in self.host.prints():
+            self._print_log.append((msg.rstrip("\n"), t + self.PRINT_HOLD))
+        self._print_log = self._print_log[-self.PRINT_LINES :]
+
+    def overlay_texts(self) -> list[tuple[str, str]]:
+        """Active overlay texts as (kind, text): kind 'center'|'print'."""
+        t = self.host.time
+        out = []
+        if getattr(self, "_center_msg", "") and t < self._center_expire:
+            out.append(("center", self._center_msg))
+        for msg, exp in getattr(self, "_print_log", []):
+            if t < exp:
+                out.append(("print", msg))
+        return out
+
+    def draw_overlays(self, img):
+        """Composite active centerprint/console text onto a numpy
+        f32[H, W, 3] frame (host-side, after the jitted frame — the
+        reference's ImGui overlay pass)."""
+        import numpy as _np
+
+        from .font import GLYPH_H, draw_text
+
+        img = _np.asarray(img)
+        H = img.shape[0]
+        scale = max(H // 240, 1)
+        y_log = 4
+        for kind, text in self.overlay_texts():
+            if kind == "center":
+                img = draw_text(
+                    img, text, cx=None, y=H // 3, scale=scale,
+                    color=(1.0, 0.85, 0.5),
+                )
+            else:
+                img = draw_text(
+                    img, text, cx=4, y=y_log, scale=scale,
+                    color=(1.0, 1.0, 1.0),
+                )
+                y_log += (GLYPH_H + 1) * scale
+        return img

@@ -110,10 +110,11 @@ class MCPGNode(Node):
         if mcfg.volume is not None:
             from ..render.mcpg.volume import apply_dist_updates
 
-            vol_img, new_vol, vres = render_volume(
+            vol_img, vol_mv, new_vol, vres = render_volume(
                 ctx.accel, ctx.atlas, uniforms, ctx.config, mcfg,
                 mcfg.volume, state["mcpg"], state["volume"], gbuffer,
             )
+            outs["volume_mv"] = vol_mv
             cat = lambda a, b: jax.tree.map(
                 lambda x, y: jnp.concatenate([x, y]), a, b
             )
@@ -255,6 +256,10 @@ class SVGFNode(Node):
         return init_svgf_state(ctx.config.height, ctx.config.width)
 
     def process(self, ctx, state, irradiance, albedo, mv, normal, linear_z, z_grad):
+        if irradiance is None:
+            # disabled upstream path (e.g. volume chain with no volume
+            # config) passes None through, like the Accumulate node
+            return state, {"out": None}
         params = SVGFParams(
             iterations=int(self.props.get("iterations", 5)),
         )
@@ -502,26 +507,24 @@ class LDRImageNode(Node):
 def flagship_graph_config() -> dict:
     """The full reference default pipeline as a graph config
     (/root/reference/res/default_config.json:2-372): MCPG renderer +
-    volume accumulate + SVGF denoiser + add(volume, filtered, direct
-    emission) + auto-exposure + tonemap + TAA + FXAA + HUD, with
+    volume accumulate (volume-MV reprojected) + a SECOND SVGF denoiser
+    on the volume path + add(volume, filtered, direct emission) +
+    auto-exposure + tonemap + TAA + FXAA + HUD, with
     power-of-2-triggered HDR/beauty image writers (paths empty =
     disabled, like the reference's trigger config) and the unconnected
-    blue-noise loader / constant-color nodes the reference config also
-    carries. The denoise chain reproduces renderer.frame_core's
-    denoise path exactly (tested in tests/test_graph.py)."""
+    blue-noise loader the reference config also carries ('one' feeds
+    the volume denoiser's albedo, default_config.json:439,328-372).
+    The denoise chain reproduces renderer.frame_core's denoise path
+    exactly (tested in tests/test_graph.py)."""
     return {
         "nodes": {
             "gbuffer": {"type": "gbuffer"},
             "renderer": {"type": "render_markovchain"},
-            "accum": {"type": "accumulate", "properties": {"mode": "plain"}},
-            "accum_albedo": {
-                "type": "accumulate", "properties": {"mode": "plain"}
-            },
-            "accum_direct": {
-                "type": "accumulate", "properties": {"mode": "plain"}
-            },
             "volume_accum": {
-                "type": "accumulate", "properties": {"mode": "plain"}
+                "type": "accumulate", "properties": {"mode": "reproject"}
+            },
+            "volume_denoiser": {
+                "type": "svgf", "properties": {"iterations": 5}
             },
             "denoiser": {"type": "svgf", "properties": {"iterations": 5}},
             "add": {"type": "add"},
@@ -546,11 +549,16 @@ def flagship_graph_config() -> dict:
             ["$frame", "uniforms", "gbuffer", "uniforms"],
             ["$frame", "uniforms", "renderer", "uniforms"],
             ["gbuffer", "gbuffer", "renderer", "gbuffer"],
-            # accumulated raw outputs (frame_core state parity)
-            ["renderer", "irradiance", "accum", "src"],
-            ["gbuffer", "albedo", "accum_albedo", "src"],
-            ["gbuffer", "irradiance", "accum_direct", "src"],
+            # volume chain: MV-reprojected accumulate + second SVGF
+            # (default_config.json:289-372; volume_mv input :298-304)
             ["renderer", "volume", "volume_accum", "src"],
+            ["renderer", "volume_mv", "volume_accum", "mv"],
+            ["volume_accum", "out", "volume_denoiser", "irradiance"],
+            ["one", "out", "volume_denoiser", "albedo"],
+            ["renderer", "volume_mv", "volume_denoiser", "mv"],
+            ["gbuffer", "normal", "volume_denoiser", "normal"],
+            ["gbuffer", "linear_z", "volume_denoiser", "linear_z"],
+            ["gbuffer", "z_grad", "volume_denoiser", "z_grad"],
             # denoise chain (frame_core denoise path)
             ["renderer", "irradiance", "denoiser", "irradiance"],
             ["gbuffer", "albedo", "denoiser", "albedo"],
@@ -560,7 +568,7 @@ def flagship_graph_config() -> dict:
             ["gbuffer", "z_grad", "denoiser", "z_grad"],
             ["denoiser", "out", "add", "a"],
             ["gbuffer", "irradiance", "add", "b"],
-            ["volume_accum", "out", "add", "c"],
+            ["volume_denoiser", "out", "add", "c"],
             ["add", "out", "exposure", "src"],
             ["exposure", "out", "tonemap", "src"],
             ["tonemap", "out", "taa", "src"],

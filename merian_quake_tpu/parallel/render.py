@@ -75,6 +75,12 @@ def _state_specs(state: FrameState) -> FrameState:
         ssmm=ssmm_specs,
         svgf=svgf_specs,
         taa_prev=img(state.taa_prev),
+        accum_volume_len=img(state.accum_volume_len),
+        volume_svgf=(
+            jax.tree.map(lambda _: P(AXIS), state.volume_svgf)
+            if state.volume_svgf is not None
+            else None
+        ),
     )
 
 

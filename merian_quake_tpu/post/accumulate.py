@@ -59,6 +59,9 @@ def accumulate_reprojected(
     valid_extra=None,
     alpha=0.0,
     firefly_k=0.0,
+    gather_fn=lambda x: x,
+    y0=0,
+    rows=None,
 ):
     """Accumulate with motion-vector reprojection (merian Accumulate).
 
@@ -66,10 +69,14 @@ def accumulate_reprojected(
     valid_extra: optional bool[H, W] additional reprojection gate
     (normal/depth tests computed by the caller). Returns
     (accumulated, new_hist_len).
+
+    ``gather_fn``/``y0``/``rows``: sharded row-slab variant — history
+    slabs are all-gathered to full height and reprojected with global
+    row indexing (bit-identical to the single-device path).
     """
     if firefly_k > 0.0:
         new = firefly_clamp(new, firefly_k)
-    prev, valid = reproject(history, mv)
+    prev, valid = reproject(gather_fn(history), mv, y0=y0, rows=rows)
     if valid_extra is not None:
         valid = valid & valid_extra
     n = jnp.where(valid, hist_len, 0.0) + 1.0

@@ -130,6 +130,22 @@ PRESETS = {
         _orbit_game(None, (512, 384, 150), 280, 90, animated=True),
         8,
     ),
+    # (6) guiding-bound certification preset (VERDICT r2 #2): the
+    # occluded-light alcove — the transport MCPG exists for — WITH the
+    # MCPG integrator. This is the scene where certify's "guided
+    # integrators should be ≤ 1" criterion is meaningful.
+    "config6": Preset(
+        "config6",
+        "guiding-bound: occluded-light alcove with MCPG, static camera",
+        RenderConfig(
+            width=640, height=360, spp=1, max_path_length=3,
+            integrator="mcpg",
+        ),
+        MCPGConfig(),
+        alcove,
+        None,
+        16,
+    ),
 }
 
 

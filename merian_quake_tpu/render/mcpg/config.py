@@ -25,6 +25,22 @@ class MCPGConfig(NamedTuple):
     mc_samples: int = 5
     mc_samples_adaptive_prob: float = 0.7
     surf_bsdf_p: float = 0.15
+    # per-cell adaptive defensive probability (round-3 quality fix,
+    # docs/quality_notes_r2.md follow-up): when > 0, the per-lane BSDF
+    # probability is raised toward 1 for IMMATURE winner chains,
+    # sbp_eff = 1 - (1 - surf_bsdf_p) · N/(N + trust_n) — young/
+    # uncertain lobes sample mostly like plain PT (no defensive-mixture
+    # tax while learning), converged chains get the full guiding
+    # weight. The MIS pdf uses the same per-lane probability, so the
+    # estimator stays unbiased. 0 = reference-fixed SURF_BSDF_P.
+    surf_bsdf_trust_n: int = 16
+    # luminance clamp on guiding-update weights (the reference's
+    # MAX_SUN_COLOR clamp family, config.h:19 — fp16 storage also caps
+    # its update weights implicitly). Bounds the Metropolis target so a
+    # single firefly cannot dominate a chain's sum_w for hundreds of
+    # frames. 0 = off. Biases only the GUIDING DISTRIBUTION (which may
+    # be anything), never the estimator.
+    mc_update_clamp: float = 64.0
     dir_guide_prior: float = 0.2
     mc_fast_recovery: bool = True
     use_light_cache_tail: bool = False
@@ -58,6 +74,13 @@ class MCPGConfig(NamedTuple):
     # fast-recovery zero requests per frame (measured ~500/frame; these
     # ride the same compaction sort as the update samples)
     zero_queue_capacity: int = 1 << 16
+    # per-frame budget of live LIGHT-CACHE samples kept by the queue
+    # compaction (compact_queues). The reference's per-cell spinlock
+    # keeps ONE winner per cell per frame and drops every other racer
+    # (light_cache.glsl:54-84), so capping the mean-merge inputs is
+    # faithful; 2^22 keeps everything at 1080p·2spp. Under sharding
+    # each shard keeps capacity/n_shards rows BEFORE the all_gather.
+    lc_queue_capacity: int = 1 << 22
     lc_max_n: int = 128
     lc_min_alpha: float = 0.01
     # vMF sharpness cap. The reference lets kappa run to the fp32 limit

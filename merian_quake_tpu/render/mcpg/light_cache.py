@@ -96,6 +96,7 @@ def lc_update_batch(
     mask,
     cam_x,
     cfg: MCPGConfig,
+    tiebreak=None,
 ):
     """Batched light_cache_update over M samples.
 
@@ -145,8 +146,12 @@ def lc_update_batch(
 
     m = bi.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    # ``tiebreak`` (the global row index under sharding) makes the
+    # within-cell order — and so the segment-end representative and
+    # the f32 sum order — independent of how shards concatenated
     segs, cols = segments.sort_segments(
-        bi, [_pack2(irr[:, 0], irr[:, 1]), _pack2(irr[:, 2], mf), iota]
+        bi, [_pack2(irr[:, 0], irr[:, 1]), _pack2(irr[:, 2], mf), iota],
+        tiebreak=tiebreak,
     )
     ix, iy = _unpack2(cols[0])
     iz, mf_s = _unpack2(cols[1])

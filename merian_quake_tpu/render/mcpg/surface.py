@@ -314,8 +314,20 @@ def render_mcpg_surface(
             have_guide = score_sum > 0.0
 
             # ---- defensive direction sampling ----
+            # per-lane defensive probability: immature winner chains
+            # (small N) sample mostly BSDF — no 1/surf_bsdf_p variance
+            # tax while the lobes are still learning (see config
+            # surf_bsdf_trust_n). The same value feeds the MIS pdf
+            # below, so the estimator stays unbiased.
+            if mcfg.surf_bsdf_trust_n > 0:
+                maturity = win.N.astype(jnp.float32) / (
+                    win.N.astype(jnp.float32) + float(mcfg.surf_bsdf_trust_n)
+                )
+                sbp = 1.0 - (1.0 - mcfg.surf_bsdf_p) * maturity
+            else:
+                sbp = jnp.full((ns,), mcfg.surf_bsdf_p)
             rng_state, u_b = rng_ops.uniform(rng_state)
-            use_bsdf = (~have_guide) | (u_b < mcfg.surf_bsdf_p)
+            use_bsdf = (~have_guide) | (u_b < sbp)
             alpha = bsdf.roughness_to_alpha(cur.roughness)
             rng_state, u3 = rng_ops.uniform3(rng_state)
             wo_b = bsdf.sample(cur.wi, cur.normal, alpha, u3)
@@ -340,8 +352,8 @@ def render_mcpg_surface(
             )
             bsdf_p = bsdf.pdf(cur.wi, wo, cur.normal, alpha)
             wo_p = (
-                jnp.where(have_guide, mcfg.surf_bsdf_p, 1.0) * bsdf_p
-                + (1.0 - mcfg.surf_bsdf_p) * guided_p
+                jnp.where(have_guide, sbp, 1.0) * bsdf_p
+                + (1.0 - sbp) * guided_p
             )
 
             # ---- trace next segment (dead lanes masked: they trace
@@ -381,6 +393,11 @@ def render_mcpg_surface(
             mc_f = color_ops.yuv_luminance(
                 lc_incident * micro[..., None] / wo_p[..., None]
             )
+            if mcfg.mc_update_clamp > 0.0:
+                # luminance-clamped guiding updates (config knob): a
+                # single low-pdf firefly cannot dominate a chain's
+                # Metropolis target for hundreds of frames
+                mc_f = jnp.minimum(mc_f, mcfg.mc_update_clamp)
             finite = jnp.isfinite(mc_f)
             lc_val = (
                 lc_incident

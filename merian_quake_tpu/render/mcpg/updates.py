@@ -56,6 +56,135 @@ def _i2f(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
+from typing import NamedTuple as _NT
+
+
+class CompactedQueues(_NT):
+    """Per-shard-compacted guiding-update queues (VERDICT r2 #6).
+
+    The raw frame queues are spp·segments·pixels rows of which only the
+    gated few percent are live; under shard_map the old path
+    all_gathered the FULL dense queues (~27 i32 columns × M rows ×
+    devices of ICI traffic). Each shard now class-sorts its own queues
+    and keeps a static live prefix (per-shard capacity = the global
+    capacity / n_shards), so the gather moves only ~1/8 the bytes at
+    the bench config. RNG replay streams are seeded by the carried
+    GLOBAL row index (``gidx``), making the replay order-invariant: the
+    sharded concat applies the same sample set with the same seeds as
+    the single-device path (f32 segment sums may reassociate — within
+    the test tolerances).
+
+    Columns:
+    - upd: i32[capu, 16] — UpdateQueue's 15 emission-packed columns +
+      gidx (dead rows carry the sentinel cell);
+    - zeros: i32[capz] — fast-recovery cells (sentinel = none);
+    - lc: i32[capl, 7] — [pos(3, f32 bits), oct normal (u32 bits),
+      irr (2 f16-pair lanes), gidx (-1 = dead)]. The light cache's
+      irradiance is fp16 in the reference (grid.h:37-46) and its
+      normal only buckets the hash, so the narrow lanes lose nothing.
+    """
+
+    upd: jnp.ndarray
+    zeros: jnp.ndarray
+    lc: jnp.ndarray
+
+
+def _pack_f16_pair(a, b):
+    u16 = lambda x: jax.lax.bitcast_convert_type(
+        jnp.clip(x, 0.0, 6e4).astype(jnp.float16), jnp.uint16
+    ).astype(jnp.uint32)
+    return (u16(a) | (u16(b) << jnp.uint32(16))).astype(jnp.int32)
+
+
+def _unpack_f16_pair(p):
+    p = p.astype(jnp.uint32)
+    f16 = lambda x: jax.lax.bitcast_convert_type(
+        x.astype(jnp.uint16), jnp.float16
+    ).astype(jnp.float32)
+    return f16(p & jnp.uint32(0xFFFF)), f16(p >> jnp.uint32(16))
+
+
+def queue_gidx(m_local, groups, width, rows, y0, height, base=0):
+    """Global row index of each local queue row: local queues are
+    [group, slab pixels]-ordered, pixels in the TILE-MAJOR flat layout
+    (render/layout.py), so the global index of a local row is
+    base + group·H·W + global_flat_index(pixel) — computed through
+    layout.index_of on the slab's global pixel coordinates."""
+    from .. import layout as _layout
+
+    per = rows * width
+    assert m_local == (m_local // per) * per, (m_local, per)
+    groups = m_local // per
+    px, py = _layout.gen_pixels(width, rows, y0=y0)
+    gpix = _layout.index_of(px, py, width, height).astype(jnp.int32)
+    goff = jnp.arange(groups, dtype=jnp.int32) * (height * width)
+    return base + (goff[:, None] + gpix[None, :]).reshape(-1)
+
+
+def compact_queues(
+    result: SurfaceResult,
+    mcfg: MCPGConfig,
+    gidx_upd,
+    gidx_lc,
+    n_shards: int = 1,
+) -> CompactedQueues:
+    """Class-sort + static-prefix compaction of one shard's queues."""
+    from ...ops import octahedral
+
+    S = mcfg.mc_total_size
+    qtab = result.updates.data  # (M, 15)
+    M = qtab.shape[0]
+    live = qtab[:, 14] < S
+    cls = jnp.where(
+        live,
+        jnp.int32(0),
+        jnp.where(result.zeros.mask, jnp.int32(2), jnp.int32(1)),
+    )
+    iota = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
+    ks, ps = jax.lax.sort([cls, iota], num_keys=1)
+
+    capu = int(min(M, max(mcfg.update_queue_capacity // n_shards, 1024)))
+    pu = ps[:capu]
+    upd = jnp.concatenate(
+        [
+            jnp.take(qtab, pu, axis=0),
+            jnp.take(gidx_upd, pu)[:, None],
+        ],
+        axis=1,
+    )
+    # rows past the live prefix already carry the sentinel cell ✓ (the
+    # class sort puts live rows first; dead rows keep cell >= S)
+
+    capz = int(min(M, max(mcfg.zero_queue_capacity // n_shards, 256)))
+    pz = ps[-capz:]
+    zeros = jnp.where(
+        ks[-capz:] == 2, jnp.take(result.zeros.cell, pz), jnp.int32(S)
+    )
+
+    # light-cache queue: its own liveness sort (different mask)
+    lcq = result.lc_samples
+    lmask = lcq.mask & jnp.isfinite(lcq.irr).all(axis=-1)
+    lcls = jnp.where(lmask, jnp.int32(0), jnp.int32(1))
+    _, lps = jax.lax.sort([lcls, iota], num_keys=1)
+    capl = int(min(M, max(mcfg.lc_queue_capacity // n_shards, 1024)))
+    pl = lps[:capl]
+    f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    lc_tab = jnp.concatenate(
+        [
+            f2i(lcq.pos),
+            f2i(octahedral.encode_normal(lcq.normal))[:, None],
+            _pack_f16_pair(lcq.irr[:, 0], lcq.irr[:, 1])[:, None],
+            _pack_f16_pair(lcq.irr[:, 2], jnp.zeros_like(lcq.irr[:, 2]))[
+                :, None
+            ],
+            jnp.where(lmask, gidx_lc, jnp.int32(-1))[:, None],
+        ],
+        axis=1,
+    )  # (M, 7)
+    lc = jnp.take(lc_tab, pl, axis=0)
+    return CompactedQueues(upd=upd, zeros=zeros, lc=lc)
+
+
 def apply_updates(
     rng_key,
     mstate: MCPGState,
@@ -63,54 +192,44 @@ def apply_updates(
     uniforms,
     mcfg: MCPGConfig,
 ) -> MCPGState:
-    """Applies fast-recovery zeros, light-cache samples and MC updates.
+    """Applies fast-recovery zeros, light-cache samples and MC updates
+    from the dense frame queues (single-device path: compaction +
+    replay in one step; the sharded path compacts per shard first —
+    see compact_queues — and calls apply_updates_compact on the
+    gathered prefixes, with identical sample sets and RNG streams)."""
+    M = result.updates.data.shape[0]
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
+    cq = compact_queues(result, mcfg, gidx, gidx, n_shards=1)
+    return apply_updates_compact(rng_key, mstate, cq, uniforms, mcfg)
+
+
+def apply_updates_compact(
+    rng_key,
+    mstate: MCPGState,
+    cq: CompactedQueues,
+    uniforms,
+    mcfg: MCPGConfig,
+) -> MCPGState:
+    """Replay compacted queues into the guiding state.
 
     ``rng_key``: uint32 scalar seed for this frame's replay randomness
-    (≈ pcg4d16(pixel, frame, SEED) in compute_updates.comp:63).
+    (≈ pcg4d16(pixel, frame, SEED) in compute_updates.comp:63). All
+    replay sorts are keyed (cell, race) with gidx-seeded races, so the
+    result is independent of row ORDER (single-device vs sharded
+    concat) up to f32 segment-sum reassociation.
     """
+    from ...ops import octahedral
+
     mc = mstate.mc
     S = mcfg.mc_total_size
-    upq = result.updates
-    qtab = upq.data  # (M, 15) packed at emission (surface.py)
-    M = qtab.shape[0]
 
-    # ---- 1. prefix compaction: ONE 2-op sort serves BOTH queues ----
-    # The raw queue is every path vertex but only ~15% of rows pass the
-    # accept gate (and ~0% are zero requests) — measured on chip. The
-    # sort key is the liveness CLASS only (0 live update, 1 dead, 2
-    # zero request), NOT the cell: lax.sort is stable, so within each
-    # class the carried row indices stay ASCENDING and the capacity-row
-    # table gather below is MONOTONE — a 2M-row random gather from the
-    # (M, 15) table costs ~90 ms on chip while the monotone one streams
-    # (~10 ms); the cell ordering this used to provide was redone by
-    # the replay's (cell, race) sort anyway. Live updates become a
-    # static PREFIX and zero requests a static SUFFIX; every downstream
-    # sort/gather runs at capacity rows. Overflow drops, like the
-    # reference's full per-cell queues.
-    live_mask = qtab[:, 14] < S
-    cls = jnp.where(
-        live_mask,
-        jnp.int32(0),
-        jnp.where(result.zeros.mask, jnp.int32(2), jnp.int32(1)),
-    )
-    iota_m = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
-    ks, ps = jax.lax.sort([cls, iota_m], num_keys=1)
+    # ---- 1a. fast-recovery zeroing (mcpg.comp:175-178) (duplicate
+    # cells write the same 0.0 — benign) ----
+    mc = mc._replace(f=mc.f.at[cq.zeros, 3].set(0.0, mode="drop"))
 
-    # ---- 1a. fast-recovery zeroing (mcpg.comp:175-178) from the
-    # suffix (duplicate cells write the same 0.0 — benign) ----
-    cap_z = int(min(M, mcfg.zero_queue_capacity))
-    pz = ps[-cap_z:]
-    is_zero = ks[-cap_z:] == 2
-    zcells = jnp.where(
-        is_zero, jnp.take(result.zeros.cell, pz), jnp.int32(S)
-    )
-    mc = mc._replace(f=mc.f.at[zcells, 3].set(0.0, mode="drop"))
-
-    # ---- 1b. compacted update rows from the prefix: ONE monotone
-    # (cap_u, 15) gather straight from the emission-packed table ----
-    cap_u = int(min(M, mcfg.update_queue_capacity))
-    pu = ps[:cap_u]
-    qr = jnp.take(qtab, pu, axis=0)  # (cap_u, 15)
+    # ---- 1b. compacted update rows (emission-packed + gidx) ----
+    qr = cq.upd[:, :15]
+    cap_u = qr.shape[0]
     w_u = _i2f(qr[:, 0])
     tgt_u = _i2f(qr[:, 1:4])
     mv_u = _i2f(qr[:, 4:7])
@@ -120,24 +239,34 @@ def apply_updates(
     cells_u = qr[:, 14]
     live_u = cells_u < S
 
-    # per-sample rng streams for the replay phase, seeded by the
-    # ORIGINAL queue row index (compaction-invariant streams)
-    rs = rng_ops.seed_pixel(pu.astype(_U32), 0, uniforms.frame, rng_key)
+    # per-sample rng streams seeded by the GLOBAL queue row index
+    # (compaction- and sharding-invariant streams)
+    rs = rng_ops.seed_pixel(
+        cq.upd[:, 15].astype(_U32), 0, uniforms.frame, rng_key
+    )
 
-    # ---- 2. light cache ----
-    lcq = result.lc_samples
+    # ---- 2. light cache (from the compacted narrow rows) ----
+    lc_pos = _i2f(cq.lc[:, 0:3])
+    lc_norm = octahedral.decode_normal(
+        cq.lc[:, 3].astype(jnp.uint32)
+    )
+    ir0, ir1 = _unpack_f16_pair(cq.lc[:, 4])
+    ir2, _ = _unpack_f16_pair(cq.lc[:, 5])
+    lc_irr = jnp.stack([ir0, ir1, ir2], axis=1)
+    lc_gidx = cq.lc[:, 6]
     rng_lc = rng_ops.seed_pixel(
-        jnp.arange(lcq.mask.shape[0], dtype=_U32), 1, uniforms.frame, rng_key
+        jnp.maximum(lc_gidx, 0).astype(_U32), 1, uniforms.frame, rng_key
     )
     _, lc, applied, merged = lc_update_batch(
         rng_lc,
         mstate.lc,
-        lcq.pos,
-        lcq.normal,
-        lcq.irr,
-        lcq.mask,
+        lc_pos,
+        lc_norm,
+        lc_irr,
+        lc_gidx >= 0,
         uniforms.cam_x,
         mcfg,
+        tiebreak=lc_gidx,
     )
 
     # ---- 3. MC chain replay on the compacted rows ----

@@ -146,10 +146,14 @@ def render_volume(
     gather_img_fn=lambda x: x,
 ):
     """One volume pass over image rows [y0, y0+rows). Returns
-    (volume img [rows,W,4], new VolumeState, extra SurfaceResult whose
-    queues feed apply_updates — including the distance-MC update queue
-    in ``extra.dist``, applied by apply_updates after the cross-shard
-    gather so every replica's distance grid stays identical).
+    (volume img [rows,W,4], volume mv [rows,W,2], new VolumeState,
+    extra SurfaceResult whose queues feed apply_updates — including the
+    distance-MC update queue in ``extra.dist``, applied by
+    apply_updates after the cross-shard gather so every replica's
+    distance grid stays identical). The volume motion vectors are the
+    forward-projected previous scatter depth (volume_forward_project
+    .comp) and drive the volume accumulate/denoise chain
+    (default_config.json:289-372 volume_mv input).
 
     ``gather_img_fn``: (rows, W[, C]) slab → full (H, W[, C]) image
     (lax.all_gather under shard_map; identity on one device) — the
@@ -385,6 +389,9 @@ def render_volume(
         mc_f = color_ops.yuv_luminance(
             phase_pdf[..., None] * incident / jnp.maximum(wo_p, 1e-30)[..., None]
         )
+        if mcfg.mc_update_clamp > 0.0:
+            # luminance-clamped guiding updates (see surface.py)
+            mc_f = jnp.minimum(mc_f, mcfg.mc_update_clamp)
         rng, u_acc = rng_ops.uniform(rng)
         accept = ok & (u_acc < mc_f / (score_sum / K))  # NaN false
         rng, u_cos = rng_ops.uniform2(rng)
@@ -439,7 +446,26 @@ def render_volume(
         volume_depth=depth_img,
         prev_volume_depth=depth_img,
     )
-    return img, new_vstate, extra
+    return img, vol_mv, new_vstate, extra
+
+
+DIST_QUEUE_CAPACITY = 1 << 18
+
+
+def compact_dist(dq: DistQueue, total: int, gidx, n_shards: int = 1):
+    """Per-shard class-sort + static live prefix of a DistQueue (the
+    cross-shard gather then moves capacity rows, not spp·pixels —
+    VERDICT r2 #6). ``total`` = number of (tile, slot) states;
+    ``gidx``: global row index per local row (i32[M]) — carried as a
+    6th column so the apply's winner-per-slot is the max-gidx row
+    regardless of shard concat order. Returns i32[cap, 6]."""
+    M = dq.data.shape[0]
+    live = dq.data[:, 4] < total
+    iota = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)[:, 0]
+    _, ps = jax.lax.sort([jnp.where(live, 0, 1), iota], num_keys=1)
+    cap = int(min(M, max(DIST_QUEUE_CAPACITY // n_shards, 256)))
+    tab = jnp.concatenate([dq.data, gidx[:, None]], axis=1)
+    return jnp.take(tab, ps[:cap], axis=0)
 
 
 def apply_dist_updates(dmc: DistanceMC, dq) -> DistanceMC:
@@ -447,12 +473,34 @@ def apply_dist_updates(dmc: DistanceMC, dq) -> DistanceMC:
 
     Last-writer-wins among duplicate slots, like the reference's
     racing in-shader writes (volume.comp) — but from a deterministic
-    queue, so replicated grids stay identical across devices."""
+    queue, so replicated grids stay identical across devices.
+
+    COMPACT-FIRST (input = compact_dist rows, i32[cap, 6] with a
+    global-index column): the winner among duplicate (tile, slot) rows
+    is the MAX-gidx row — the global-order last writer — selected by a
+    (flat, gidx) sort + segment-end mask, so the result is independent
+    of shard concat order and the slot scatters run at unique indices.
+    Overflow past the compaction capacity drops rows, like the
+    reference's racing writers (volume.comp) drop losers.
+    """
     i2f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
-    sw = i2f(dq.data[:, 0])
-    mm = i2f(dq.data[:, 1:3])
-    nw = dq.data[:, 3]
-    flat = dq.data[:, 4]
+    data = dq if isinstance(dq, jnp.ndarray) else dq.data
+    total = dmc.sum_w.size
+    flat_in = jnp.where(data[:, 4] < total, data[:, 4], total)
+    out = jax.lax.sort(
+        [flat_in, data[:, 5], data[:, 0], data[:, 1], data[:, 2],
+         data[:, 3]],
+        num_keys=2,
+    )
+    flat_s = out[0]
+    is_end = jnp.concatenate(
+        [flat_s[:-1] != flat_s[1:], jnp.ones((1,), bool)]
+    )
+    keep = is_end & (flat_s < total)
+    flat = jnp.where(keep, flat_s, total)
+    sw = i2f(out[2])
+    mm = i2f(jnp.stack([out[3], out[4]], axis=1))
+    nw = out[5]
     return DistanceMC(
         sum_w=dmc.sum_w.reshape(-1).at[flat].set(sw, mode="drop").reshape(
             dmc.sum_w.shape

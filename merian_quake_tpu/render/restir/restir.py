@@ -81,6 +81,10 @@ def _reproj_valid(n_a, n_b, cos_thresh, z_a, vel_z, z_b, reject):
     return n_ok & z_ok
 
 
+# test hook: force the full-plane gather path under sharding (A/B vs halo)
+FORCE_GATHER = False
+
+
 def _seed(px, py, frame, pass_idx, seed):
     return rng_ops.seed_pixel(px, py, frame * jnp.uint32(4) + jnp.uint32(pass_idx), seed)
 
@@ -116,6 +120,52 @@ def render_restir(
         if shard_ctx is None
         else (lambda x: shard_ctx.gather_flat(x, W))
     )
+
+    # ---- cross-shard neighbor access (VERDICT r2 #6): when the slab
+    # can carry the reuse radius, boundary-row HALO EXCHANGE replaces
+    # the full-plane all_gathers — per-device ICI traffic drops from
+    # O(H·W·fields) to O(r_halo·W·fields). Targets beyond the ±r_halo
+    # apron reject reuse (ok=False), a documented divergence from the
+    # gathered path that only bites at >r_halo rows of frame motion.
+    r_halo = int(max(rcfg.spatial_radius + 1, 16))
+    use_halo = (
+        shard_ctx is not None
+        and not FORCE_GATHER
+        and rows < H
+        and r_halo <= rows
+    )
+
+    def _halo_reader(cols):
+        metas = []
+        packed = []
+        for c in cols:
+            ci = c[:, None] if c.ndim == 1 else c
+            metas.append((c.dtype, c.ndim, ci.shape[1]))
+            packed.append(
+                ci
+                if ci.dtype == jnp.int32
+                else jax.lax.bitcast_convert_type(ci, jnp.int32)
+            )
+        tab = jnp.concatenate(packed, axis=1)
+        img = layout.flat_to_image(tab, W, rows)
+        pad = shard_ctx.halo_pad(img, r_halo)
+
+        def read(px_t, py_t):
+            ly = py_t - (shard_ctx.y0 - r_halo)
+            ok = (ly >= 0) & (ly < rows + 2 * r_halo)
+            lyc = jnp.clip(ly, 0, rows + 2 * r_halo - 1)
+            rows_v = pad[lyc, px_t]  # (n, C)
+            outs = []
+            o = 0
+            for dt, nd, k in metas:
+                v = rows_v[:, o : o + k]
+                o += k
+                if dt != jnp.int32:
+                    v = jax.lax.bitcast_convert_type(v, dt)
+                outs.append(v[:, 0] if nd == 1 else v)
+            return outs, ok
+
+        return read
 
     surf = decompress_hit(gbuf.hits)
     pixel_live = (surf.albedo >= 1e-7).any(axis=-1)
@@ -175,11 +225,33 @@ def render_restir(
         jnp.clip(ppx, 0, W - 1), jnp.clip(ppy, 0, H - 1), W, H
     )
 
-    prev_normal_f = gf(rstate.prev_normal)
-    prev_z_f = gf(rstate.prev_linear_z)
-    prev_res_f = Reservoir(*[gf(x) for x in rstate.reservoirs])
-    prev_n = jnp.take(prev_normal_f, pidx, axis=0)
-    prev_z = jnp.take(prev_z_f, pidx)
+    if use_halo:
+        read_t = _halo_reader(
+            list(rstate.reservoirs)
+            + [rstate.prev_normal, rstate.prev_linear_z,
+               surf.pos, surf.normal, surf.wi, surf.roughness]
+        )
+        tvals, ok_h = read_t(
+            jnp.clip(ppx, 0, W - 1), jnp.clip(ppy, 0, H - 1)
+        )
+        prev = Reservoir(*tvals[:9])
+        prev_n = tvals[9]
+        prev_z = tvals[10]
+        import types as _types
+
+        prev_surf = _types.SimpleNamespace(
+            pos=tvals[11], normal=tvals[12], wi=tvals[13],
+            roughness=tvals[14],
+        )
+        inb = inb & ok_h
+    else:
+        prev_normal_f = gf(rstate.prev_normal)
+        prev_z_f = gf(rstate.prev_linear_z)
+        prev_res_f = Reservoir(*[gf(x) for x in rstate.reservoirs])
+        prev_n = jnp.take(prev_normal_f, pidx, axis=0)
+        prev_z = jnp.take(prev_z_f, pidx)
+        prev = Reservoir(*[jnp.take(x, pidx, axis=0) for x in prev_res_f])
+        prev_surf = None
     tvalid = (
         inb
         & (uniforms.frame > 0)
@@ -188,7 +260,6 @@ def render_restir(
             linear_z, vel_z, prev_z, rcfg.temporal_depth_reject,
         )
     )
-    prev = Reservoir(*[jnp.take(x, pidx, axis=0) for x in prev_res_f])
     if rcfg.apply_mv:
         dt = (uniforms.cl_time - prev.y_T)[..., None]
         prev = prev._replace(
@@ -208,8 +279,9 @@ def render_restir(
     else:
         pi = combined.p_target
         pi_sum = combined.p_target * cur.M.astype(jnp.float32)
-        surf_full = Hit(*[gf(x) for x in surf])
-        prev_surf = Hit(*[jnp.take(x, pidx, axis=0) for x in surf_full])
+        if prev_surf is None:
+            surf_full = Hit(*[gf(x) for x in surf])
+            prev_surf = Hit(*[jnp.take(x, pidx, axis=0) for x in surf_full])
         temporal_p = target_pdf(
             combined.y_pos, combined.y_normal, combined.y_radiance, prev_surf
         )
@@ -250,13 +322,21 @@ def render_restir(
     # ---------- pass 3: spatial reuse ----------
     rng = _seed(pxf, pyf, uniforms.frame, 2, config.seed)
     spatial_in = r
-    sp_full = (
-        spatial_in
-        if shard_ctx is None
-        else Reservoir(*[gf(x) for x in spatial_in])
-    )
-    normal_full = gf(normal)
-    z_full = gf(linear_z)
+    if use_halo:
+        read_s = _halo_reader(
+            list(spatial_in)
+            + [normal, linear_z,
+               surf.pos, surf.normal, surf.wi, surf.roughness]
+        )
+        sp_full = normal_full = z_full = surf_full_s = None
+    else:
+        sp_full = (
+            spatial_in
+            if shard_ctx is None
+            else Reservoir(*[gf(x) for x in spatial_in])
+        )
+        normal_full = gf(normal)
+        z_full = gf(linear_z)
     r = rsv.reservoir_init(n)
     rng, r, _ = rsv.combine_finalized(r, rng, spatial_in, spatial_in.p_target)
     neighbors = []
@@ -270,31 +350,54 @@ def render_restir(
             pyf.astype(jnp.float32) + rcfg.spatial_radius * (2 * u2[:, 1] - 1)
         ).astype(jnp.int32)
         inb_s = (nx >= 0) & (nx < W) & (ny >= 0) & (ny < H)
-        nidx = layout.index_of(
-            jnp.clip(nx, 0, W - 1), jnp.clip(ny, 0, H - 1), W, H
-        )
+        nx_c = jnp.clip(nx, 0, W - 1)
+        ny_c = jnp.clip(ny, 0, H - 1)
+        if use_halo:
+            svals, ok_s = read_s(nx_c, ny_c)
+            nb = Reservoir(*svals[:9])
+            nb_normal = svals[9]
+            nb_z = svals[10]
+            import types as _types
+
+            nb_surf = _types.SimpleNamespace(
+                pos=svals[11], normal=svals[12], wi=svals[13],
+                roughness=svals[14],
+            )
+            inb_s = inb_s & ok_s
+        else:
+            nidx = layout.index_of(nx_c, ny_c, W, H)
+            nb = Reservoir(*[jnp.take(x, nidx, axis=0) for x in sp_full])
+            nb_normal = jnp.take(normal_full, nidx, axis=0)
+            nb_z = jnp.take(z_full, nidx)
+            nb_surf = None if shard_ctx is None else nidx
         nvalid = inb_s & _reproj_valid(
             normal,
-            jnp.take(normal_full, nidx, axis=0),
+            nb_normal,
             rcfg.spatial_normal_reject_cos,
             linear_z,
             vel_z,
-            jnp.take(z_full, nidx),
+            nb_z,
             rcfg.spatial_depth_reject,
         )
-        nb = Reservoir(*[jnp.take(x, nidx, axis=0) for x in sp_full])
         p_tgt_nb = target_pdf(nb.y_pos, nb.y_normal, nb.y_radiance, surf)
         rng, r, took = rsv.combine_finalized(r, rng, nb, p_tgt_nb, mask=nvalid)
         sel_idx = jnp.where(took, i, sel_idx)
-        neighbors.append((nidx, nvalid, nb.M))
+        neighbors.append((nb_surf if use_halo else None, nx_c, ny_c,
+                          nvalid, nb.M))
     if rcfg.spatial_bias_correction == 0 or rcfg.spatial_reuse_iterations == 0:
         r = rsv.finalize(r)
     else:
         pi = r.p_target
         pi_sum = r.p_target * spatial_in.M.astype(jnp.float32)
-        surf_full_s = Hit(*[gf(x) for x in surf])
-        for i, (nidx, nvalid, nb_m) in enumerate(neighbors):
-            nb_surf = Hit(*[jnp.take(x, nidx, axis=0) for x in surf_full_s])
+        surf_full_s = Hit(*[gf(x) for x in surf]) if not use_halo else None
+        for i, (nb_surf_h, nx_c, ny_c, nvalid, nb_m) in enumerate(neighbors):
+            if use_halo:
+                nb_surf = nb_surf_h
+            else:
+                nidx = layout.index_of(nx_c, ny_c, W, H)
+                nb_surf = Hit(
+                    *[jnp.take(x, nidx, axis=0) for x in surf_full_s]
+                )
             sp = target_pdf(r.y_pos, r.y_normal, r.y_radiance, nb_surf)
             if rcfg.spatial_bias_correction == 2:
                 from ...accel.intersect import trace_visibility

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from .accel.build import AccelScene, build_accel
 from .models.procedural import SceneBundle
 from .models.types import RenderConfig, TextureAtlas, Uniforms
-from .post.accumulate import accumulate
+from .post.accumulate import accumulate, accumulate_reprojected
 from .post.tonemap import tonemap_reinhard_extended
 from .ops import color as color_ops
 from .render.gbuffer import render_gbuffer
@@ -44,6 +44,8 @@ class FrameState(NamedTuple):
     ssmm: object = None  # SSMMState when integrator == "ssmm"
     svgf: object = None  # SVGFState when config.denoise
     taa_prev: object = None  # f32[H, W, 3] previous LDR (TAA history)
+    accum_volume_len: object = None  # f32[H, W] volume accum history len
+    volume_svgf: object = None  # SVGFState for the volume denoiser
 
 
 def init_state(config: RenderConfig, mcpg_config=None) -> FrameState:
@@ -53,6 +55,8 @@ def init_state(config: RenderConfig, mcpg_config=None) -> FrameState:
     ssmm_state = None
     volume_state = None
     accum_volume = None
+    accum_volume_len = None
+    volume_svgf = None
     if config.integrator == "mcpg":
         from .render.mcpg import MCPGConfig, init_mcpg_state
 
@@ -63,6 +67,11 @@ def init_state(config: RenderConfig, mcpg_config=None) -> FrameState:
 
             volume_state = init_volume_state(config, mcpg_cfg.volume)
             accum_volume = jnp.zeros((H, W, 4))
+            accum_volume_len = jnp.zeros((H, W))
+            if config.denoise:
+                from .post.svgf import init_svgf_state
+
+                volume_svgf = init_svgf_state(H, W)
     elif config.integrator == "restir":
         from .render.restir import init_restir_state
 
@@ -90,6 +99,8 @@ def init_state(config: RenderConfig, mcpg_config=None) -> FrameState:
         ssmm=ssmm_state,
         svgf=svgf_state,
         taa_prev=taa_prev,
+        accum_volume_len=accum_volume_len,
+        volume_svgf=volume_svgf,
     )
 
 
@@ -122,9 +133,11 @@ def frame_core(
     new_ssmm = state.ssmm
     new_volume = state.volume
     new_accum_volume = state.accum_volume
+    new_accum_volume_len = state.accum_volume_len
+    vol_mv = None
     if config.integrator == "mcpg":
-        from .render.mcpg import apply_updates
         from .render.mcpg.surface import SurfaceResult, render_mcpg_surface
+        from .render.mcpg.updates import compact_queues, queue_gidx
 
         res = render_mcpg_surface(
             accel,
@@ -138,21 +151,22 @@ def frame_core(
             rows=rows,
         )
         irr = res.irradiance
-        # cross-shard gathers regroup per queue (each queue's rows are
-        # [group, pixels]-ordered with its OWN group count), so gather
-        # BEFORE concatenating surface and volume queues
+        # queues are COMPACTED per shard BEFORE the cross-shard gather
+        # (compact_queues): only live prefix rows ride the ICI, and the
+        # replay is keyed by carried GLOBAL row indices so the result
+        # is concat-order-invariant
+        n_shards = shard_ctx.n if shard_ctx is not None else 1
+        W, H = config.width, config.height
         surf_groups = max(config.spp, 1) * max(config.max_path_length - 1, 1)
-        g = lambda tree, k: jax.tree.map(lambda x: gather_fn(x, k), tree)
-        res = SurfaceResult(
-            irradiance=res.irradiance,
-            updates=g(res.updates, surf_groups),
-            lc_samples=g(res.lc_samples, surf_groups),
-            zeros=g(res.zeros, surf_groups),
+        gidx = queue_gidx(
+            res.updates.data.shape[0], surf_groups, W, rows, y0, H
         )
         if mcpg_config.volume is not None:
-            from .render.mcpg.volume import apply_dist_updates, render_volume
+            from .render.mcpg.volume import (
+                apply_dist_updates, compact_dist, render_volume,
+            )
 
-            vol_img, new_volume, vres = render_volume(
+            vol_img, vol_mv, new_volume, vres = render_volume(
                 accel, atlas, uniforms, config, mcpg_config,
                 mcpg_config.volume, state.mcpg, state.volume, gbuf,
                 y0=y0, rows=rows,
@@ -165,22 +179,46 @@ def frame_core(
             cat = lambda a, b: jax.tree.map(
                 lambda x, y: jnp.concatenate([x, y]), a, b
             )
+            gidx_vol = queue_gidx(
+                vres.updates.data.shape[0], vgroups, W, rows, y0, H
+            )
+            gidx = jnp.concatenate(
+                [gidx, gidx_vol + surf_groups * H * W]
+            )
             res = SurfaceResult(
                 irradiance=res.irradiance,
-                updates=cat(res.updates, g(vres.updates, vgroups)),
-                lc_samples=cat(res.lc_samples, g(vres.lc_samples, vgroups)),
-                zeros=cat(res.zeros, g(vres.zeros, vgroups)),
+                updates=cat(res.updates, vres.updates),
+                lc_samples=cat(res.lc_samples, vres.lc_samples),
+                zeros=cat(res.zeros, vres.zeros),
             )
+            dq = compact_dist(
+                vres.dist, state.volume.dist_mc.sum_w.size, gidx_vol,
+                n_shards,
+            )
+            dq = gather_fn(dq, 1)
             new_volume = new_volume._replace(
-                dist_mc=apply_dist_updates(
-                    state.volume.dist_mc, g(vres.dist, vgroups)
-                )
+                dist_mc=apply_dist_updates(state.volume.dist_mc, dq)
             )
-            new_accum_volume = accumulate(
-                state.accum_volume, vol_img, state.iteration
+            # volume accumulate WITH volume-mv reprojection (the
+            # reference's volume accum takes the volume_mv input,
+            # default_config.json:289-310) — under any camera motion
+            # the reprojected history tracks the fog instead of
+            # ghosting (tested: test_volume_reprojected_accumulate)
+            new_accum_volume, new_accum_volume_len = accumulate_reprojected(
+                state.accum_volume, state.accum_volume_len, vol_img,
+                vol_mv,
+                gather_fn=(
+                    shard_ctx.gather_rows if shard_ctx is not None
+                    else (lambda x: x)
+                ),
+                y0=y0, rows=rows if shard_ctx is not None else None,
             )
-        new_mcpg = apply_updates(
-            jnp.uint32(config.seed), state.mcpg, res, uniforms, mcpg_config
+        from .render.mcpg.updates import apply_updates_compact
+
+        cq = compact_queues(res, mcpg_config, gidx, gidx, n_shards=n_shards)
+        cq = jax.tree.map(lambda x: gather_fn(x, 1), cq)
+        new_mcpg = apply_updates_compact(
+            jnp.uint32(config.seed), state.mcpg, cq, uniforms, mcpg_config
         )
     elif config.integrator == "restir":
         from .render.restir import ReSTIRConfig, render_restir
@@ -232,6 +270,8 @@ def frame_core(
         accum_volume=new_accum_volume,
         restir=new_restir,
         ssmm=new_ssmm,
+        accum_volume_len=new_accum_volume_len,
+        volume_svgf=state.volume_svgf,
     )
     # beauty path (reference wiring, default_config.json:3-372):
     # renderer irradiance → accumulate → SVGF(+albedo remodulate) →
@@ -262,7 +302,22 @@ def frame_core(
         )
         beauty_hdr = filtered + gbuf.irradiance[..., :3]
         if new_state.accum_volume is not None:
-            beauty_hdr = beauty_hdr + new_state.accum_volume[..., :3]
+            # SECOND SVGF instance on the volume path (the reference's
+            # volume denoiser, default_config.json:328-372,675-698):
+            # reprojection follows the VOLUME motion vectors, albedo is
+            # all-ones (the reference's 'one' Color node)
+            new_vol_svgf, vol_filtered = svgf(
+                state.volume_svgf,
+                new_state.accum_volume[..., :3],
+                new_state.accum_volume[..., 3],
+                vol_mv,
+                gbuf.normal,
+                gbuf.linear_z,
+                gbuf.z_grad,
+                jnp.ones_like(new_state.accum_volume[..., :3]),
+            )
+            beauty_hdr = beauty_hdr + vol_filtered
+            new_state = new_state._replace(volume_svgf=new_vol_svgf)
         lum = color_ops.yuv_luminance(beauty_hdr)
         log_mean = mean_fn(jnp.mean(jnp.log(lum + 1e-4)))
         scale = 0.18 / jnp.maximum(jnp.exp(log_mean), 1e-4)
@@ -283,12 +338,16 @@ def frame_core(
         log_mean = mean_fn(jnp.mean(jnp.log(lum + 1e-4)))
         scale = 0.18 / jnp.maximum(jnp.exp(log_mean), 1e-4)
         ldr = tonemap_reinhard_extended(beauty_hdr * scale)
-    return new_state, {
+    outputs = {
         "hdr": beauty_hdr,
         "ldr": ldr,
         "irradiance": irr,
         "gbuffer": gbuf,
     }
+    if vol_mv is not None:
+        outputs["volume"] = vol_img
+        outputs["volume_mv"] = vol_mv
+    return new_state, outputs
 
 
 @partial(jax.jit, static_argnames=("config", "mcpg_config"))

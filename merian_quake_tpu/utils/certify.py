@@ -3,17 +3,27 @@
 The north-star quality target (BASELINE.md) is relMSE at equal spp
 within 5% of the Vulkan reference on its benchmark scenes. The Vulkan
 implementation cannot run in this environment, so the tracked
-certification is against a CONVERGED own-PT ground truth (the
-reference's own golden-image workflow, scripts/error_plot.py:27-60):
+certification is against a CONVERGED unguided ground truth (the
+reference's own golden-image workflow: REFERENCE_MODE renders averaged
+over independent runs, scripts/combine_images.py + error_plot.py:27-60):
 
-- ground truth: plain unidirectional PT (mcpg.comp REFERENCE_MODE
-  semantics) accumulated for ``ref_frames`` frames;
+- ground truth: plain unidirectional transport accumulated for
+  ``ref_frames`` frames, AVERAGED over ``ref_runs`` independent runs
+  (disjoint RNG streams via frame-index offsets) — the multi-run
+  averaging the reference's combine_images.py applies;
+- fog-aware: presets with a volume term use the UNGUIDED mcpg
+  integrator as truth (surf_bsdf_p = 1.0 is verified structurally
+  identical to PT — docs/quality_notes_r2.md #2 — and the volume pass
+  with dist_guide_p = 0 / volume_phase_p = 1 is pure phase-sampled
+  transmittance single scattering, unbiased), so the volume term IS
+  certified instead of excluded;
 - candidate: the preset's integrator accumulated for ``frames`` frames
-  (equal sample budget as a PT run with the same ``frames``);
+  (equal sample budget as an unguided run with the same ``frames``);
 - reported per preset: absolute relMSE, the equal-budget PT relMSE,
   and their ratio (guided integrators should be ≤ 1 in guiding-bound
-  scenes; a ratio creeping above ~1.05 on diffuse-dominated scenes is
-  the regression signal the 5% target encodes).
+  scenes — config6 is the tracked guiding-bound preset; a ratio
+  creeping above ~1.05 on diffuse-dominated scenes is the regression
+  signal the 5% target encodes).
 
 Scenes are static (error measurement needs a fixed view), resolutions
 scaled down by ``scale`` to keep the certification fast.
@@ -27,10 +37,32 @@ import numpy as np
 from .metrics import relmse, relmse_trimmed
 
 
-def _run(bundle, config, integ_config, frames):
-    """Accumulated SURFACE beauty (volume in-scatter excluded: the PT
-    ground truth has no volume term, so certification compares the
-    surface transport both integrators estimate)."""
+def _unguided_config(cfg, integ_config):
+    """The REFERENCE_MODE equivalent: same transport, no guiding."""
+    if integ_config is not None and getattr(integ_config, "volume", None) is not None:
+        from ..render.mcpg import MCPGConfig
+
+        vol = integ_config.volume._replace(
+            dist_guide_p=0.0,
+            volume_phase_p=1.0,
+            volume_use_light_cache=False,
+        )
+        ref_integ = MCPGConfig(
+            mc_adaptive_size=1 << 10,  # inert (never sampled at sbp=1)
+            mc_static_size=1 << 8,
+            lc_size=1 << 8,
+            surf_bsdf_p=1.0,
+            surf_bsdf_trust_n=0,
+            use_light_cache_tail=False,
+            volume=vol,
+        )
+        return cfg._replace(integrator="mcpg"), ref_integ
+    return cfg._replace(integrator="pt"), None
+
+
+def _run(bundle, config, integ_config, frames, frame_offset=0):
+    """Accumulated beauty INCLUDING the volume term (fog-aware truth:
+    see module docstring — both sides estimate the same transport)."""
     import jax.numpy as jnp
 
     from ..accel.build import build_accel
@@ -41,21 +73,19 @@ def _run(bundle, config, integ_config, frames):
     uniforms = bundle.uniforms
     outputs = None
     for i in range(frames):
-        uniforms = uniforms._replace(frame=jnp.uint32(i))
+        uniforms = uniforms._replace(frame=jnp.uint32(frame_offset + i))
         state, outputs = render_frame(
             accel, bundle.atlas, uniforms, config, state, integ_config
         )
-    hdr = np.asarray(outputs["hdr"])
-    if state.accum_volume is not None:
-        hdr = hdr - np.asarray(state.accum_volume)[..., :3]
-    return hdr
+    return np.asarray(outputs["hdr"])
 
 
 def certify_presets(
     names=None,
     scale: float = 0.25,
-    frames: int = 8,
+    frames: int = 64,
     ref_frames: int = 256,
+    ref_runs: int = 4,
     out_path: str | None = None,
 ) -> dict:
     """Returns {preset: {relmse, relmse_pt_equal_budget, ratio, ...}}."""
@@ -77,13 +107,20 @@ def certify_presets(
                 bundle.scene, bundle.uniforms, bundle.atlas
             ),
         )
-        ref_cfg = cfg._replace(integrator="pt")
-        truth = _run(bundle, ref_cfg, None, ref_frames)
+        ref_cfg, ref_integ = _unguided_config(cfg, p.integ_config)
+        # multi-run averaged ground truth (combine_images.py workflow):
+        # disjoint RNG streams via frame offsets, averaged
+        truth = np.zeros((H, W, 3), np.float32)
+        for r in range(ref_runs):
+            truth += _run(
+                bundle, ref_cfg, ref_integ, ref_frames,
+                frame_offset=1_000_000 * (r + 1),
+            ) / ref_runs
         test = _run(bundle, cfg, p.integ_config, frames)
         pt_eq = (
             test
             if cfg.integrator == "pt"
-            else _run(bundle, ref_cfg, None, frames)
+            else _run(bundle, ref_cfg, ref_integ, frames)
         )
         e_test = float(relmse(test, truth))
         e_pt = float(relmse(pt_eq, truth))
@@ -95,6 +132,8 @@ def certify_presets(
             "spp": cfg.spp,
             "frames": frames,
             "ref_frames": ref_frames,
+            "ref_runs": ref_runs,
+            "volume_included": ref_integ is not None,
             "relmse": e_test,
             "relmse_pt_equal_budget": e_pt,
             "ratio_vs_pt": e_test / max(e_pt, 1e-12),

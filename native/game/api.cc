@@ -140,6 +140,36 @@ const char* mq_game_sound_sample(void* h, int i) {
   const auto& s = ((GameHost*)h)->events().sounds;
   return (i >= 0 && i < (int)s.size()) ? s[i].sample.c_str() : "";
 }
+// full sound-event record (the SNDDMA_* seam for the audio mixer:
+// spatialization needs origin/volume/attenuation, channel override
+// semantics need ent+channel)
+void mq_game_get_sounds(void* h, int32_t* ent, int32_t* chan, float* origin,
+                        float* vol, float* atten) {
+  const auto& s = ((GameHost*)h)->events().sounds;
+  for (size_t i = 0; i < s.size(); i++) {
+    ent[i] = s[i].ent;
+    chan[i] = s[i].channel;
+    std::memcpy(origin + i * 3, s[i].origin, 3 * sizeof(float));
+    vol[i] = s[i].volume;
+    atten[i] = s[i].attenuation;
+  }
+}
+int mq_game_num_ambient_sounds(void* h) {
+  return (int)((GameHost*)h)->ambient_sounds().size();
+}
+const char* mq_game_ambient_sample(void* h, int i) {
+  const auto& s = ((GameHost*)h)->ambient_sounds();
+  return (i >= 0 && i < (int)s.size()) ? s[i].sample.c_str() : "";
+}
+void mq_game_get_ambient_sounds(void* h, float* origin, float* vol,
+                                float* atten) {
+  const auto& s = ((GameHost*)h)->ambient_sounds();
+  for (size_t i = 0; i < s.size(); i++) {
+    std::memcpy(origin + i * 3, s[i].origin, 3 * sizeof(float));
+    vol[i] = s[i].volume;
+    atten[i] = s[i].attenuation;
+  }
+}
 
 int mq_game_num_particles(void* h) {
   return (int)((GameHost*)h)->events().particles.size();

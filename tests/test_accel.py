@@ -1,3 +1,5 @@
+import os
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -361,3 +363,45 @@ def test_woop_proxy_anyhit_matches_oracle(rng):
     clear = ~oh | (np.abs(tt - tm) > 1e-3 * np.maximum(tm, 1.0))
     np.testing.assert_array_equal(np.asarray(occ)[clear], oh[clear])
     assert oh.any() and (~oh).any()
+
+
+def test_woop_target_key_sorted_matches_oracle(rng):
+    """Round-3 target-key scheduling (per-ray top-3 cluster sort key +
+    exact per-block union te): the sorted resident path must agree with
+    the oracle exactly, including masked (t_max<=0) rays and misses."""
+    from merian_quake_tpu.accel.woop import intersect_woop
+
+    t = 1024  # 8 clusters
+    c = rng.uniform(-40, 40, (t, 1, 3))
+    tri = c + rng.uniform(-8, 8, (t, 3, 3))
+    scene = build_scene_from_soup(
+        tri[:, 0].astype(np.float32),
+        tri[:, 1].astype(np.float32),
+        tri[:, 2].astype(np.float32),
+    )
+    acc = build_accel(scene)
+    n = 1024
+    o = jnp.asarray(rng.uniform(-60, 60, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_max = jnp.asarray(
+        np.where(rng.random(n) < 0.2, -1.0, 1e4).astype(np.float32)
+    )
+    os.environ["MQ_TARGET_KEY"] = "1"
+    os.environ["MQ_WOOP_COMPACT"] = "64"
+    try:
+        hw = intersect_woop(
+            acc, o, d, 0.0, t_max, ray_block=256, interpret=True,
+            sort_rays=True,
+        )
+    finally:
+        del os.environ["MQ_TARGET_KEY"]
+        del os.environ["MQ_WOOP_COMPACT"]
+    ho = intersect(acc, o, d, 0.0, t_max)
+    np.testing.assert_array_equal(np.asarray(hw.tri), np.asarray(ho.tri))
+    hit = np.asarray(ho.tri) >= 0
+    assert hit.any() and (~hit).any()
+    np.testing.assert_allclose(
+        np.asarray(hw.t)[hit], np.asarray(ho.t)[hit], rtol=1e-4, atol=1e-3
+    )

@@ -18,12 +18,28 @@ def test_certify_config1_small():
     assert r8["relmse"] < r2["relmse"]
 
 
-def test_certify_mcpg_guiding_not_catastrophic():
-    """config5's integrator (MCPG) at equal budget must stay within a
-    loose factor of plain PT on the court scene (the real certification
-    runs at full scale on the chip; this is the harness smoke test)."""
+def test_certify_mcpg_court_within_factor():
+    """config5's integrator (MCPG + volume, now certified fog-aware) at
+    equal budget must stay within a small factor of unguided transport
+    on the sun-lit court (the defensive-mixture tax scene; the real
+    certification runs at larger scale on the chip). Round-2 gate was
+    < 10; round-3 quality fixes (maturity-gated defensive probability,
+    clamped guiding updates) tightened it."""
     r = certify_presets(
-        names=["config5"], scale=0.05, frames=4, ref_frames=48
+        names=["config5"], scale=0.05, frames=6, ref_frames=48, ref_runs=2
     )["config5"]
     assert np.isfinite(r["relmse"])
-    assert r["ratio_vs_pt"] < 10.0, r
+    assert r["volume_included"] is True
+    assert r["ratio_vs_pt"] < 2.5, r
+    assert r["ratio_trimmed_vs_pt"] < 1.6, r
+
+
+def test_certify_guiding_bound_alcove_beats_pt():
+    """config6 (occluded-light alcove + MCPG): guiding must BEAT plain
+    PT at equal budget — the criterion certify's docstring declares for
+    guiding-bound scenes (VERDICT r2 #2 done criterion)."""
+    r = certify_presets(
+        names=["config6"], scale=0.1, frames=12, ref_frames=64, ref_runs=2
+    )["config6"]
+    assert np.isfinite(r["relmse"])
+    assert r["ratio_vs_pt"] < 1.0, r

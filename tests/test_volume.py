@@ -55,3 +55,77 @@ def test_normal_dist_regularizer():
     # tiny N → prior dominates → sigma pulled toward 0.2/0.2 scale
     mu2, sigma2 = _normal_dist(sw, jnp.asarray([0]), mm)
     assert float(sigma2[0]) < 2.0
+
+
+def test_volume_reprojected_accumulate_beats_plain_under_motion():
+    """VERDICT r2 #4: the volume accumulate follows volume motion
+    vectors (default_config.json:298-304). With a translating camera,
+    reprojected accumulation of the captured per-frame volume images
+    must track the fog field better than a plain (ghosting) blend."""
+    import jax
+
+    from merian_quake_tpu.accel.build import build_accel, scene_features
+    from merian_quake_tpu.models.procedural import cornell_box
+    from merian_quake_tpu.post.accumulate import accumulate_reprojected
+    from merian_quake_tpu.renderer import init_state, render_frame
+
+    bundle = cornell_box()
+    cfg = RenderConfig(
+        width=48, height=32, spp=1, integrator="mcpg", seed=7,
+        max_path_length=2,
+    )
+    mcfg = MCPGConfig(
+        mc_adaptive_size=1 << 10, mc_static_size=1 << 8, lc_size=1 << 10,
+        volume=VolumeConfig(volume_spp=2),
+    )
+    accel = build_accel(bundle.scene, bundle.atlas)
+    u0 = bundle.uniforms._replace(
+        mu_t=jnp.float32(0.004), mu_s=jnp.full((3,), 0.0032)
+    )
+    cfg = cfg._replace(features=scene_features(bundle.scene, u0, bundle.atlas))
+
+    # camera slides sideways (+y) 12 units/frame
+    def cam_at(i):
+        return u0.cam_x + jnp.asarray([0.0, 12.0 * i, 0.0])
+
+    frames = 5
+    state = init_state(cfg, mcfg)
+    vols, mvs = [], []
+    for i in range(frames):
+        u = u0._replace(
+            cam_x=cam_at(i), prev_cam_x=cam_at(i - 1),
+            frame=jnp.uint32(i),
+        )
+        state, out = render_frame(
+            accel, bundle.atlas, u, cfg, state, mcpg_config=mcfg
+        )
+        vols.append(np.asarray(out["volume"]))
+        mvs.append(np.asarray(out["volume_mv"]))
+
+    # unbiased estimate of the FINAL camera's volume field
+    truth = np.zeros_like(vols[0][..., :3])
+    n_ref = 6
+    for j in range(n_ref):
+        # fresh state + distinct frame index = independent RNG stream
+        # with the same compiled executable (seed would be a static
+        # recompile)
+        st = init_state(cfg, mcfg)
+        u = u0._replace(
+            cam_x=cam_at(frames - 1), prev_cam_x=cam_at(frames - 1),
+            frame=jnp.uint32(1000 + 37 * j),
+        )
+        st, out = render_frame(
+            accel, bundle.atlas, u, cfg, st, mcpg_config=mcfg
+        )
+        truth += np.asarray(out["volume"])[..., :3] / n_ref
+
+    plain = np.mean([v[..., :3] for v in vols], axis=0)
+    acc = jnp.zeros_like(jnp.asarray(vols[0]))
+    n = jnp.zeros(vols[0].shape[:2])
+    for v, mv in zip(vols, mvs):
+        acc, n = accumulate_reprojected(acc, n, jnp.asarray(v), jnp.asarray(mv))
+    repro = np.asarray(acc)[..., :3]
+
+    err_plain = float(np.abs(plain - truth).mean())
+    err_repro = float(np.abs(repro - truth).mean())
+    assert err_repro < err_plain, (err_repro, err_plain)
