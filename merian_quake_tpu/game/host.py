@@ -95,6 +95,8 @@ def _load() -> ctypes.CDLL:
     lib.mq_game_get_sounds.argtypes = [
         ctypes.c_void_p, _c_i32_p, _c_i32_p, _c_float_p, _c_float_p,
         _c_float_p]
+    lib.mq_game_changelevel.argtypes = [ctypes.c_void_p]
+    lib.mq_game_changelevel.restype = ctypes.c_char_p
     lib.mq_game_num_ambient_sounds.argtypes = [ctypes.c_void_p]
     lib.mq_game_ambient_sample.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.mq_game_ambient_sample.restype = ctypes.c_char_p
@@ -468,6 +470,11 @@ class QuakeHost:
             for i in range(n)
         ]
 
+    @property
+    def changelevel_target(self) -> str:
+        """Map requested by the QC changelevel() builtin ('' = none)."""
+        return self._lib.mq_game_changelevel(self._h).decode()
+
     def ambient_sounds(self):
         """Static looping ambients committed by QC ambientsound():
         list of (sample, volume, attenuation, origin[3])."""
@@ -512,6 +519,10 @@ class QuakeHost:
                 np.float32,
             )
         return float(self._lib.mq_game_get_field(self._h, ent, name.encode(), 0))
+
+    def get_field_int(self, ent: int, name: str) -> int:
+        """Entity/function/int field value (e.g. enemy, goalentity)."""
+        return int(self._lib.mq_game_get_field_int(self._h, ent, name.encode()))
 
     def get_field_str(self, ent: int, name: str) -> str:
         return self._lib.mq_game_get_field_str(

@@ -18,15 +18,16 @@ import numpy as np
 from .host import QuakeHost, WorldHulls
 from .live import LiveGame
 from .qcasm import (
-    EV_FLOAT, OP_ADD_F, OP_ADDRESS, OP_BITAND, OP_IFNOT, OP_LOAD_F,
-    OP_LOAD_V, OP_LT, OP_MUL_F, OP_STOREP_F, OP_STOREP_FNC, OP_SUB_F,
-    QCAsm,
+    EV_FLOAT, OP_ADD_F, OP_ADDRESS, OP_BITAND, OP_GT, OP_IF, OP_IFNOT,
+    OP_LOAD_F, OP_LOAD_V, OP_LT, OP_MUL_F, OP_STOREP_ENT, OP_STOREP_F,
+    OP_STOREP_FNC, OP_SUB_F, OP_SUB_V, QCAsm,
 )
 from ..models.mdl import AliasModel, load_mdl, write_mdl
 from ..models.procedural import cornell_box
 from ..models.spr import load_spr, write_spr
 
 MOVETYPE_WALK, MOVETYPE_STEP, MOVETYPE_TOSS = 3.0, 4.0, 6.0
+MOVETYPE_PUSH = 7.0
 MOVETYPE_BOUNCE = 10.0
 SOLID_TRIGGER, SOLID_BBOX, SOLID_SLIDEBOX = 1.0, 2.0, 3.0
 FL_ONGROUND = 512.0
@@ -34,6 +35,10 @@ FL_ONGROUND = 512.0
 BALL_MDL = "progs/ball.mdl"
 WALKER_MDL = "progs/walker.mdl"
 FLAME_SPR = "progs/flame.spr"
+DOOR_MDL = "progs/door.mdl"
+
+# func_door parameters (speed u/s, travel units)
+DOOR_SPEED, DOOR_TRAVEL, DOOR_WAIT = 80.0, 104.0, 2.0
 
 
 # ---------------------------------------------------------------- models
@@ -118,6 +123,44 @@ def walker_model() -> AliasModel:
     return load_mdl(blob, "walker")
 
 
+def door_model() -> AliasModel:
+    """Sliding door slab (func_door equivalent): 16×96×112, one frame.
+
+    Real maps implement doors as BSP submodels; the packaged arena uses
+    an alias-model pusher with the same QC movement chain (trigger →
+    rise → wait → return) so the door/plat builtin surface a real
+    progs.dat exercises (ltime-based pusher thinks, MOVETYPE_PUSH) is
+    driven end-to-end."""
+    hw, hd, hh = 8.0, 48.0, 112.0
+    verts = np.asarray(
+        [[-hw, -hd, 0], [hw, -hd, 0], [hw, hd, 0], [-hw, hd, 0],
+         [-hw, -hd, hh], [hw, -hd, hh], [hw, hd, hh], [-hw, hd, hh]],
+        np.float32,
+    )
+    quads = [(0, 1, 2, 3), (7, 6, 5, 4), (0, 4, 5, 1), (1, 5, 6, 2),
+             (2, 6, 7, 3), (3, 7, 4, 0)]
+    tris = np.asarray(
+        [(q[0], q[1], q[2]) for q in quads]
+        + [(q[0], q[2], q[3]) for q in quads],
+        np.int32,
+    )
+    frames = verts[None]
+    skin = np.full((16, 16), 2, np.uint8)  # gray ramp
+    skin[7:9, :] = 10  # accent stripe
+    uv_s = np.clip((verts[:, 1] + hd) / (2 * hd) * 15, 0, 15).astype(
+        np.int64
+    )
+    uv_t = np.clip((hh - verts[:, 2]) / hh * 15, 0, 15).astype(np.int64)
+    lo = frames.min(axis=(0, 1))
+    scale = (frames.max(axis=(0, 1)) - lo) / 254.0 + 1e-6
+    blob = write_mdl(
+        [skin], uv_s, uv_t, np.zeros(len(verts), np.int64), tris,
+        np.ones(len(tris), np.int64), frames, scale.astype(np.float32),
+        lo.astype(np.float32),
+    )
+    return load_mdl(blob, "door")
+
+
 def flame_sprite():
     """Two-frame torch flame (fullbright palette rows)."""
     rng = np.random.default_rng(7)
@@ -165,12 +208,18 @@ def _rand_centered(fn, asm, scale):
 def build_progs() -> bytes:
     """The arena's game code (see module docstring)."""
     asm = QCAsm()
+    # mod-specific entity fields (standard fields are predeclared)
+    asm.field("attack_finished", EV_FLOAT)
+    asm.field("state", EV_FLOAT)
 
     w = asm.function("worldspawn")
     w.call("precache_model", (asm.string_const(BALL_MDL), 1))
     w.call("precache_model", (asm.string_const(WALKER_MDL), 1))
     w.call("precache_model", (asm.string_const(FLAME_SPR), 1))
+    w.call("precache_model", (asm.string_const(DOOR_MDL), 1))
     w.call("precache_sound", (asm.string_const("misc/secret.wav"), 1))
+    w.call("precache_sound", (asm.string_const("walker/bite.wav"), 1))
+    w.call("precache_sound", (asm.string_const("doors/stone1.wav"), 1))
     w.call("lightstyle", asm.float_const(0.0), (asm.string_const("m"), 1))
     w.call(
         "lightstyle", asm.float_const(1.0),
@@ -204,14 +253,71 @@ def build_progs() -> bytes:
     _schedule(ball, asm, "ball_kick", 1.0)
     ball.ret()
 
-    # patrolling walker: STEP physics, walkmove in a circle, 2-frame anim
+    # patrolling walker: STEP physics, 2-frame anim; within sight range
+    # it becomes a CHASING, BITING monster — the combat AI loop a real
+    # progs.dat drives (checkclient → vectoyaw/ChangeYaw → movetogoal →
+    # melee damage + sound + sprint + blood particles)
     wt = asm.function("walker_think")
-    yawv = _lfield(wt, asm, asm["self"], "angles_y")
-    wt.emit(OP_ADD_F, yawv, asm.float_const(10.0), yawv)
-    _sfield(wt, asm, asm["self"], "angles_y", yawv)
     fr = _lfield(wt, asm, asm["self"], "frame")
     wt.emit(OP_SUB_F, asm.float_const(1.0), fr, fr)
     _sfield(wt, asm, asm["self"], "frame", fr)
+    e = wt.temp()
+    wt.call("checkclient", ret=e)
+    j_noclient = wt.emit(OP_IFNOT, e, 0)
+    eo = _lfield(wt, asm, e, "origin", vec=True)
+    so = _lfield(wt, asm, asm["self"], "origin", vec=True)
+    diff = wt.temp(3)
+    wt.emit(OP_SUB_V, eo, so, diff)
+    dist = wt.temp()
+    wt.call("vlen", (diff, 3), ret=dist)
+    far = wt.temp()
+    wt.emit(OP_GT, dist, asm.float_const(150.0), far)
+    j_far = wt.emit(OP_IF, far, 0)
+    # ---- chase ----
+    eptr = wt.temp()
+    wt.emit(OP_ADDRESS, asm["self"], asm.field_const("enemy"), eptr)
+    wt.emit(OP_STOREP_ENT, e, eptr)
+    gptr = wt.temp()
+    wt.emit(OP_ADDRESS, asm["self"], asm.field_const("goalentity"), gptr)
+    wt.emit(OP_STOREP_ENT, e, gptr)
+    iy = wt.temp()
+    wt.call("vectoyaw", (diff, 3), ret=iy)
+    _sfield(wt, asm, asm["self"], "ideal_yaw", iy)
+    _sfield(wt, asm, asm["self"], "yaw_speed", asm.float_const(20.0))
+    wt.call("ChangeYaw")
+    wt.call("movetogoal", asm.float_const(8.0))
+    # ---- melee when adjacent and off cooldown ----
+    near = wt.temp()
+    wt.emit(OP_LT, dist, asm.float_const(64.0), near)
+    j_notnear = wt.emit(OP_IFNOT, near, 0)
+    af = _lfield(wt, asm, asm["self"], "attack_finished")
+    cool = wt.temp()
+    wt.emit(OP_LT, af, asm["time"], cool)
+    j_cooling = wt.emit(OP_IFNOT, cool, 0)
+    naf = wt.temp()
+    wt.emit(OP_ADD_F, asm["time"], asm.float_const(1.2), naf)
+    _sfield(wt, asm, asm["self"], "attack_finished", naf)
+    wt.call("sound", asm["self"], asm.float_const(1.0),
+            (asm.string_const("walker/bite.wav"), 1),
+            asm.float_const(1.0), asm.float_const(1.0))
+    wt.call("sprint", e, (asm.string_const("the walker bites!"), 1))
+    hp = _lfield(wt, asm, e, "health")
+    wt.emit(OP_SUB_F, hp, asm.float_const(4.0), hp)
+    _sfield(wt, asm, e, "health", hp)
+    wt.call("particle", (eo, 3), (asm.vector_const(0, 0, 1), 3),
+            asm.float_const(73.0), asm.float_const(12.0))
+    chase_end = wt.label()
+    wt.patch_goto(j_notnear, chase_end)
+    wt.patch_goto(j_cooling, chase_end)
+    _schedule(wt, asm, "walker_think", 0.1)
+    wt.ret()
+    # ---- patrol (circle walk) ----
+    patrol = wt.label()
+    wt.patch_goto(j_noclient, patrol)
+    wt.patch_goto(j_far, patrol)
+    yawv = _lfield(wt, asm, asm["self"], "angles_y")
+    wt.emit(OP_ADD_F, yawv, asm.float_const(10.0), yawv)
+    _sfield(wt, asm, asm["self"], "angles_y", yawv)
     wt.call("walkmove", yawv, asm.float_const(10.0))
     _schedule(wt, asm, "walker_think", 0.1)
     wt.ret()
@@ -226,6 +332,89 @@ def build_progs() -> bytes:
     wk.call("droptofloor")
     _schedule(wk, asm, "walker_think", 0.3)
     wk.ret()
+
+    # ---- func_door chain (doors/plats builtin surface): ltime-based
+    # pusher thinks (PhysicsPusher), trigger → rise → wait → return ----
+    def _schedule_ltime(fn, ent, think_name, delay):
+        lt = _lfield(fn, asm, ent, "ltime")
+        fn.emit(OP_ADD_F, lt, asm.float_const(delay), lt)
+        _sfield(fn, asm, ent, "nextthink", lt)
+        ptr = fn.temp()
+        fn.emit(OP_ADDRESS, ent, asm.field_const("think"), ptr)
+        fn.emit(OP_STOREP_FNC, asm.fn_global(think_name), ptr)
+
+    travel_t = DOOR_TRAVEL / DOOR_SPEED
+    db = asm.function("door_bottom")
+    _sfield(db, asm, asm["self"], "velocity_z", asm.float_const(0.0))
+    _sfield(db, asm, asm["self"], "state", asm.float_const(0.0))
+    db.ret()
+
+    dd = asm.function("door_down")
+    _sfield(dd, asm, asm["self"], "velocity_z",
+            asm.float_const(-DOOR_SPEED))
+    _schedule_ltime(dd, asm["self"], "door_bottom", travel_t)
+    dd.ret()
+
+    dt_ = asm.function("door_top")
+    _sfield(dt_, asm, asm["self"], "velocity_z", asm.float_const(0.0))
+    _schedule_ltime(dt_, asm["self"], "door_down", DOOR_WAIT)
+    dt_.ret()
+
+    dzt = asm.function("door_zone_touch")
+    d_ent = dzt.temp()
+    dzt.call("find", asm["world"], (asm.field_const("classname"), 1),
+             (asm.string_const("func_door_slab"), 1), ret=d_ent)
+    j_nodoor = dzt.emit(OP_IFNOT, d_ent, 0)
+    st = _lfield(dzt, asm, d_ent, "state")
+    j_busy = dzt.emit(OP_IF, st, 0)
+    _sfield(dzt, asm, d_ent, "state", asm.float_const(1.0))
+    _sfield(dzt, asm, d_ent, "velocity_z", asm.float_const(DOOR_SPEED))
+    _schedule_ltime(dzt, d_ent, "door_top", travel_t)
+    dzt.call("sound", d_ent, asm.float_const(1.0),
+             (asm.string_const("doors/stone1.wav"), 1),
+             asm.float_const(1.0), asm.float_const(1.0))
+    end_d = dzt.label()
+    dzt.patch_goto(j_nodoor, end_d)
+    dzt.patch_goto(j_busy, end_d)
+    dzt.ret()
+
+    door = asm.function("func_door_slab")
+    _sfield(door, asm, asm["self"], "movetype",
+            asm.float_const(MOVETYPE_PUSH))
+    _sfield(door, asm, asm["self"], "solid", asm.float_const(SOLID_BBOX))
+    door.call("setmodel", asm["self"], (asm.string_const(DOOR_MDL), 1))
+    door.call("setsize", asm["self"],
+              (asm.vector_const(-8, -48, 0), 3),
+              (asm.vector_const(8, 48, 112), 3))
+    _sfield(door, asm, asm["self"], "state", asm.float_const(0.0))
+    door.ret()
+
+    dzone = asm.function("trigger_door_zone")
+    _sfield(dzone, asm, asm["self"], "solid",
+            asm.float_const(SOLID_TRIGGER))
+    dptr = dzone.temp()
+    dzone.emit(OP_ADDRESS, asm["self"], asm.field_const("touch"), dptr)
+    dzone.emit(OP_STOREP_FNC, asm.fn_global("door_zone_touch"), dptr)
+    dzone.call("setsize", asm["self"],
+               (asm.vector_const(-56, -56, -48), 3),
+               (asm.vector_const(56, 56, 48), 3))
+    dzone.ret()
+
+    # ---- trigger_changelevel (the level-exit builtin surface) ----
+    ext = asm.function("exit_touch")
+    ext.call("changelevel", (asm.string_const("arena2"), 1))
+    ext.ret()
+
+    ezone = asm.function("trigger_exit_zone")
+    _sfield(ezone, asm, asm["self"], "solid",
+            asm.float_const(SOLID_TRIGGER))
+    eptr2 = ezone.temp()
+    ezone.emit(OP_ADDRESS, asm["self"], asm.field_const("touch"), eptr2)
+    ezone.emit(OP_STOREP_FNC, asm.fn_global("exit_touch"), eptr2)
+    ezone.call("setsize", asm["self"],
+               (asm.vector_const(-40, -40, -48), 3),
+               (asm.vector_const(40, 40, 48), 3))
+    ezone.ret()
 
     # static torch flame (QC makestatic → cl_static_entities path)
     lt = asm.function("light_torch")
@@ -332,6 +521,18 @@ ENTITY_LUMP = """
 "classname" "trigger_secret_zone"
 "origin" "256 140 48"
 }
+{
+"classname" "func_door_slab"
+"origin" "470 80 0"
+}
+{
+"classname" "trigger_door_zone"
+"origin" "420 80 40"
+}
+{
+"classname" "trigger_exit_zone"
+"origin" "64 64 40"
+}
 """
 
 
@@ -356,11 +557,13 @@ def make_arena(dynamic_capacity: int = 1024, emission: float = 16.0,
     host.load_world(arena_hulls())
     host.set_model_bounds(BALL_MDL, (-12, -12, -12), (12, 12, 12))
     host.set_model_bounds(WALKER_MDL, (-16, -16, -24), (16, 16, 26))
+    host.set_model_bounds(DOOR_MDL, (-8, -48, 0), (8, 48, 112))
     host.spawn(ENTITY_LUMP, mapname="maps/arena.bsp")
     models = {
         BALL_MDL: ball_model(),
         WALKER_MDL: walker_model(),
         FLAME_SPR: flame_sprite(),
+        DOOR_MDL: door_model(),
     }
     return LiveGame(
         host, cornell_box(emission=emission), models,

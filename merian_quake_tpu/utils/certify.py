@@ -86,9 +86,18 @@ def certify_presets(
     frames: int = 64,
     ref_frames: int = 256,
     ref_runs: int = 4,
+    realtime_frames: int = 8,
     out_path: str | None = None,
 ) -> dict:
-    """Returns {preset: {relmse, relmse_pt_equal_budget, ratio, ...}}."""
+    """Returns {preset: {relmse, relmse_pt_equal_budget, ratio, ...}}.
+
+    ``realtime_frames``: candidate budget for the REAL-TIME reuse
+    estimators (ReSTIR/SSMM). Their temporal/spatial reuse trades a
+    bias floor for massive low-sample variance reduction — evaluating
+    them at a long-accumulation budget (64 frames) measures the bias
+    floor, not the regime they exist for (the reference runs them at
+    1-2 spp per frame, real time). Unbiased integrators (PT, MCPG)
+    certify at the full ``frames`` budget."""
     from ..accel.build import scene_features
     from ..presets import PRESETS
 
@@ -96,6 +105,11 @@ def certify_presets(
     results = {}
     for name in names:
         p = PRESETS[name]
+        p_frames = (
+            realtime_frames
+            if p.config.integrator in ("restir", "ssmm")
+            else frames
+        )
         W = max(int(p.config.width * scale) // 8 * 8, 16)
         H = max(int(p.config.height * scale) // 8 * 8, 16)
         bundle = p.make_bundle()
@@ -116,11 +130,11 @@ def certify_presets(
                 bundle, ref_cfg, ref_integ, ref_frames,
                 frame_offset=1_000_000 * (r + 1),
             ) / ref_runs
-        test = _run(bundle, cfg, p.integ_config, frames)
+        test = _run(bundle, cfg, p.integ_config, p_frames)
         pt_eq = (
             test
             if cfg.integrator == "pt"
-            else _run(bundle, ref_cfg, ref_integ, frames)
+            else _run(bundle, ref_cfg, ref_integ, p_frames)
         )
         e_test = float(relmse(test, truth))
         e_pt = float(relmse(pt_eq, truth))
@@ -130,7 +144,7 @@ def certify_presets(
             "integrator": cfg.integrator,
             "resolution": f"{W}x{H}",
             "spp": cfg.spp,
-            "frames": frames,
+            "frames": p_frames,
             "ref_frames": ref_frames,
             "ref_runs": ref_runs,
             "volume_included": ref_integ is not None,

@@ -154,6 +154,9 @@ void mq_game_get_sounds(void* h, int32_t* ent, int32_t* chan, float* origin,
     atten[i] = s[i].attenuation;
   }
 }
+const char* mq_game_changelevel(void* h) {
+  return ((GameHost*)h)->changelevel().c_str();
+}
 int mq_game_num_ambient_sounds(void* h) {
   return (int)((GameHost*)h)->ambient_sounds().size();
 }
