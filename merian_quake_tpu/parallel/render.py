@@ -20,6 +20,47 @@ from ..renderer import FrameState, frame_core, init_state
 AXIS = "pix"
 
 
+def queue_gather_bytes(config, mcfg, n_devices: int) -> dict:
+    """Per-frame cross-shard queue-gather volume (bytes moved by the
+    all_gather of guiding-update queues), before/after the round-3
+    per-shard compaction (VERDICT r2 #6 'done' metric).
+
+    'dense' is the round-2 scheme: every queue row of every shard rides
+    the ICI (update 15 + lc 10 + zero 2 i32 columns × M rows, + dist 5
+    × M_vol). 'compact' is the current scheme: per-shard class-sorted
+    live prefixes (update 16 × capu/n, lc 7 narrow columns × capl/n,
+    zeros capz/n, dist 6 × capdist/n), gathered across n shards.
+    """
+    H, W = config.height, config.width
+    m_surf = H * W * max(config.spp, 1) * max(config.max_path_length - 1, 1)
+    vspp = (
+        mcfg.volume.volume_spp
+        if mcfg is not None and mcfg.volume is not None
+        else 0
+    )
+    m_vol = H * W * vspp
+    m = m_surf + m_vol
+    dense = 4 * ((15 + 10 + 2) * m + 5 * m_vol)
+    if mcfg is None:
+        from ..render.mcpg import MCPGConfig
+
+        mcfg = MCPGConfig()
+    n = max(n_devices, 1)
+    capu = min(m, max(mcfg.update_queue_capacity // n, 1024))
+    capl = min(m, max(mcfg.lc_queue_capacity // n, 1024))
+    capz = min(m, max(mcfg.zero_queue_capacity // n, 256))
+    from ..render.mcpg.volume import DIST_QUEUE_CAPACITY
+
+    capd = min(m_vol, max(DIST_QUEUE_CAPACITY // n, 256)) if m_vol else 0
+    compact = 4 * n * (16 * capu + 7 * capl + capz + 6 * capd)
+    return {
+        "queue_rows": m,
+        "dense_bytes": dense * n,  # every device receives the full set
+        "compact_bytes": compact,
+        "reduction": round(dense * n / max(compact, 1), 2),
+    }
+
+
 def make_mesh(n_devices: int | None = None) -> Mesh:
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
