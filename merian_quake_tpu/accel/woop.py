@@ -431,8 +431,9 @@ def _intersect_tile_compact(
         sh = pltpu.roll(incl, s, 1)
         incl = incl + jnp.where(lane >= s, sh, 0.0)
         s *= 2
-    rank = incl - row  # (1, B) f32
-    slot = jax.lax.broadcasted_iota(jnp.float32, (ncomp, B), 0)
+    rank = (incl - row).astype(jnp.int32)  # (1, B) exclusive rank
+    # iota must be integer on Mosaic (f32 iota fails verification)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (ncomp, B), 0)
     P = jnp.where((rank == slot) & (row > 0.0), 1.0, 0.0)  # (ncomp, B)
     dotn = lambda a, b, dims: jax.lax.dot_general(
         a, b, dimension_numbers=(dims, ((), ())),

@@ -190,12 +190,55 @@ def pack_states_draw(mc: MCStates, cl_time) -> jnp.ndarray:
     )
 
 
+# tables at or above this row count use the sorted-gather path (the
+# production guide table is 33.6M rows, the light cache 4M)
+SORTED_GATHER_MIN_ROWS = 1 << 21
+
+
+def sorted_row_gather(tab: jnp.ndarray, idx) -> jnp.ndarray:
+    """Row gather via sort → monotone gather → unsort.
+
+    Random row gathers against multi-hundred-MB tables run ~8× slower
+    than against small ones (measured ~48 ns/row vs ~6 at the 33.6M-row
+    production guide table — HBM locality): sorting the indices first
+    turns the gather into a monotone stream, and the two bracketing
+    sorts (2-op forward, columns carried back) cost far less than the
+    latency they remove. Exact: same rows, same order."""
+    m = idx.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)[:, 0]
+    si, pos = jax.lax.sort([idx.astype(jnp.int32), iota], num_keys=1)
+    rows = jnp.take(tab, si, axis=0)
+    back = jax.lax.sort(
+        [pos] + [rows[:, c] for c in range(rows.shape[1])], num_keys=1
+    )
+    return jnp.stack(back[1:], axis=1)
+
+
+def gather_rows(tab: jnp.ndarray, idx) -> jnp.ndarray:
+    """Row gather, auto-selecting the sorted path for huge flat tables
+    (1-D index only — the hot guide-draw/light-cache shape)."""
+    import os
+
+    # OPT-IN (MQ_SORTED_GATHER=1): measured inconclusive-to-negative at
+    # production scale — the bracketing sorts' cost and compile-time
+    # growth offset the locality gain; XLA's gather did not clearly
+    # speed up on sorted indices. Kept for further experiments.
+    if (
+        tab.shape[0] >= SORTED_GATHER_MIN_ROWS
+        and idx.ndim == 1
+        and idx.shape[0] >= 4096
+        and os.environ.get("MQ_SORTED_GATHER")
+    ):
+        return sorted_row_gather(tab, idx)
+    return jnp.take(tab, idx.astype(jnp.int32), axis=0)
+
+
 def gather_state_packed_draw(packed: jnp.ndarray, idx) -> StateSample:
     """gather against a pack_states_draw table. mv/T come back ZERO, so
     finalize_load's reprojection is a structural no-op (already applied
     table-side); the winner threads id/N/sum_w/w_cos/w_tgt onward —
     exactly the fields the update/fast-recovery paths read."""
-    g = jnp.take(packed, idx.astype(jnp.int32), axis=0)
+    g = gather_rows(packed, idx)
     gf = jax.lax.bitcast_convert_type(g[..., 0:5], jnp.float32)
     z3 = jnp.zeros(gf.shape[:-1] + (3,))
     return StateSample(

@@ -65,7 +65,9 @@ def _get_level(rng_state, lc: LightCache, pos, normal, level, cfg: MCPGConfig,
         # dead lanes read row 0 (result discarded by the caller): a
         # constant address makes the random HBM gather a cached one
         idx = jnp.where(dead, 0, idx)
-    rows = jnp.take(tab, idx, axis=0)  # (..., 5)
+    from .grids import gather_rows
+
+    rows = gather_rows(tab, idx)  # (..., 5)
     stored_h = jax.lax.bitcast_convert_type(rows[..., 0], jnp.uint32)
     irr = jax.lax.bitcast_convert_type(rows[..., 1:4], jnp.float32)
     n = rows[..., 4]

@@ -276,7 +276,7 @@ def apply_updates_compact(
         [mc.i[:, 0], jax.lax.bitcast_convert_type(mc.f[:, 3], jnp.int32)],
         axis=1,
     )  # (S, 2) i32
-    inc = jnp.take(inc_tab, jnp.minimum(cells_u, S - 1), axis=0)  # (cap_u, 2)
+    inc = grids.gather_rows(inc_tab, jnp.minimum(cells_u, S - 1))  # (cap_u, 2)
     inc_id = inc[:, 0].astype(_U32)
     inc_sum_w = _i2f(inc[:, 1])
     match = (inc_id == id_u) & live_u
@@ -336,8 +336,8 @@ def apply_updates_compact(
         agg[:, 0], agg[:, 1], agg[:, 2:5], agg[:, 5:8]
     )
 
-    cur_f = jnp.take(mc.f, cell_r, axis=0)  # (cap, 9)
-    cur_i = jnp.take(mc.i, cell_r, axis=0)  # (cap, 3)
+    cur_f = grids.gather_rows(mc.f, cell_r)  # (cap, 9)
+    cur_i = grids.gather_rows(mc.i, cell_r)  # (cap, 3)
 
     kf = jnp.maximum(k_m, 1.0)
     mean_w = sum_w_g / kf
@@ -360,7 +360,7 @@ def apply_updates_compact(
         comp, cell_c,
         jnp.concatenate([upd_w_tgt, upd_sum_w[:, None]], axis=1), S + 1,
     )
-    post = jnp.take(post_tab, jnp.minimum(segs.cell, S), axis=0)  # (M, 4)
+    post = grids.gather_rows(post_tab, jnp.minimum(segs.cell, S))  # (M, 4)
     pos_post = jnp.where(
         (post[:, 3] > 0.0)[..., None],
         post[:, 0:3] / jnp.where(post[:, 3] == 0.0, 1.0, post[:, 3])[..., None],
@@ -427,7 +427,7 @@ def apply_updates_compact(
     # ---- stochastic saves into BOTH grids (compute_updates.comp:98-121)
     def save(mc: MCStates, buf, site_hash, stream: int) -> MCStates:
         buf = buf.astype(jnp.int32)
-        old = jnp.take(inc_tab, jnp.minimum(buf, S - 1), axis=0)
+        old = grids.gather_rows(inc_tab, jnp.minimum(buf, S - 1))
         old_id = old[:, 0].astype(_U32)
         old_sum_w = _i2f(old[:, 1])
         cell_rng = rng_ops.seed_pixel(

@@ -191,6 +191,16 @@ def render_volume(
     dmc = vstate.dist_mc
     max_t_pix = jnp.minimum(linear_z, uniforms.volume_max_t)
 
+    # packed single-gather tables, shared with the surface pass (same
+    # pure computation → XLA CSE folds the two builds into one): the
+    # guide draws pay ONE 8-column row gather instead of two, and
+    # lc_get reads a prebuilt (L, 5) table instead of materializing it
+    # per call (measured ~500 ms/frame at production scale)
+    mc_packed = grids.pack_states_draw(mstate.mc, uniforms.cl_time)
+    from .light_cache import _pack_lc
+
+    lc_packed = _pack_lc(mstate.lc)
+
     irr_acc = jnp.zeros((n, 3))
     m2_acc = jnp.zeros((n,))
     lcq_all, upq_all, zq_all, dq_all = [], [], [], []
@@ -263,24 +273,48 @@ def render_volume(
         rng, win = grids.new_state(rng)
         win_buf = jnp.full((n,), -1, jnp.int32)
         vol_level = grids.adaptive_target_level(pos, cam_x, mcfg)
-        for _ in range(K):
-            rng, u_grid = rng_ops.uniform(rng)
-            adaptive = u_grid < mcfg.mc_samples_adaptive_prob
-            rng, abuf, ahash = grids.adaptive_cell(
-                rng, pos, vnormal, cam_x, mcfg, target_level=vol_level
-            )
-            rng, sbuf, shash = grids.static_cell(rng, pos, mcfg)
-            buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
-            st = grids.gather_state(mstate.mc, buf)
-            st_a = grids.finalize_load(st, ahash, uniforms.cl_time)
-            st_s = grids.finalize_load(st, shash, uniforms.cl_time)
+        import math as _math
+
+        ka_exact = K * mcfg.mc_samples_adaptive_prob
+        for k in range(K):
+            # STRATIFIED grid choice (same scheme as the surface pass,
+            # surface.py): all but at most one draw run ONE grid's cell
+            # math instead of both + two finalizes
+            if k + 1 <= int(ka_exact):
+                mode = "adaptive"
+            elif k >= _math.ceil(ka_exact):
+                mode = "static"
+            else:
+                mode = "mixed"
+            if mode != "static":
+                rng, abuf, ahash = grids.adaptive_cell(
+                    rng, pos, vnormal, cam_x, mcfg, target_level=vol_level
+                )
+            if mode != "adaptive":
+                rng, sbuf, shash = grids.static_cell(rng, pos, mcfg)
+            if mode == "adaptive":
+                buf = abuf.astype(jnp.int32)
+            elif mode == "static":
+                buf = sbuf.astype(jnp.int32)
+            else:
+                rng, u_grid = rng_ops.uniform(rng)
+                adaptive = u_grid < (ka_exact - int(ka_exact))
+                buf = jnp.where(adaptive, abuf, sbuf).astype(jnp.int32)
+            st = grids.gather_state_packed_draw(mc_packed, buf)
             sel = lambda m, a, b: grids.StateSample(
                 *[
                     jnp.where(m[..., None] if x.ndim > 1 else m, x, y)
                     for x, y in zip(a, b)
                 ]
             )
-            st = sel(adaptive, st_a, st_s)
+            if mode == "adaptive":
+                st = grids.finalize_load(st, ahash, uniforms.cl_time)
+            elif mode == "static":
+                st = grids.finalize_load(st, shash, uniforms.cl_time)
+            else:
+                st_a = grids.finalize_load(st, ahash, uniforms.cl_time)
+                st_s = grids.finalize_load(st, shash, uniforms.cl_time)
+                st = sel(adaptive, st_a, st_s)
             score_sum = score_sum + st.sum_w
             rng, u_res = rng_ops.uniform(rng)
             take = u_res < st.sum_w / score_sum
@@ -336,7 +370,8 @@ def render_volume(
         incident = res.contribution
         if vcfg.volume_use_light_cache:
             rng, lc_irr = lc_get(
-                rng, mstate.lc, res.hit.pos, res.hit.normal, cam_x, mcfg
+                rng, mstate.lc, res.hit.pos, res.hit.normal, cam_x, mcfg,
+                packed=lc_packed,
             )
             no_inc = ~(incident > 0.0).any(axis=-1)
             incident = jnp.where(
