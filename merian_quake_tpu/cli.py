@@ -273,6 +273,8 @@ def _cmd_certify(args) -> int:
         scale=args.scale,
         frames=args.frames,
         ref_frames=args.ref_frames,
+        ref_runs=args.ref_runs,
+        realtime_frames=args.realtime_frames,
         out_path=args.out,
     )
     print(json.dumps(results, indent=2))
@@ -379,8 +381,14 @@ def main(argv=None) -> int:
     )
     pc.add_argument("--presets", nargs="*", default=None)
     pc.add_argument("--scale", type=float, default=0.25)
-    pc.add_argument("--frames", type=int, default=8)
+    pc.add_argument("--frames", type=int, default=64)
     pc.add_argument("--ref-frames", type=int, default=256)
+    pc.add_argument("--ref-runs", type=int, default=4,
+                    help="independent truth runs averaged "
+                         "(combine_images.py workflow)")
+    pc.add_argument("--realtime-frames", type=int, default=8,
+                    help="candidate budget for the real-time reuse "
+                         "estimators (ReSTIR/SSMM)")
     pc.add_argument("--out", default="CERT_relmse.json")
     pc.set_defaults(fn=_cmd_certify)
 
