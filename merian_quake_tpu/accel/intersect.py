@@ -99,6 +99,9 @@ def intersect(
         return flat
     scene = accel.scene
     T = scene.num_tris
+    # tiny scenes (padded to CLUSTER_SIZE) can be smaller than the
+    # oracle's batching chunk
+    chunk = min(chunk, T)
     n_chunks = T // chunk
     assert n_chunks * chunk == T, (T, chunk)
 

@@ -1146,7 +1146,7 @@ def _pack_rays(o, d, t_min_b, t_max_b, ray_block):
 
 
 def intersect_woop(
-    accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
+    accel, o, d, t_min, t_max, ray_block=4096, interpret=False,
     sort_rays=False, resident=None, chunk=None, phase1_visits=0,
     fine=None, simple=None, group=None, init_t=None, subgate=None,
     exact_cull=None, world_clamp=True, target_cull=False, compact=None,
@@ -1363,7 +1363,7 @@ def intersect_woop(
 
 
 def intersect_woop_any(
-    accel, o, d, t_min, t_max, ray_block=2048, interpret=False,
+    accel, o, d, t_min, t_max, ray_block=4096, interpret=False,
     sort_rays=False, resident=None, chunk=None,
 ):
     """Occlusion-only (any-hit) sweep: bool[n] `occluded`.
