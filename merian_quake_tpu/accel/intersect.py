@@ -15,6 +15,7 @@ bit-for-nearly (same arithmetic, different scheduling).
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import jax
@@ -99,9 +100,10 @@ def intersect(
         return flat
     scene = accel.scene
     T = scene.num_tris
-    # tiny scenes (padded to CLUSTER_SIZE) can be smaller than the
-    # oracle's batching chunk
-    chunk = min(chunk, T)
+    # T is always a CLUSTER_SIZE multiple but need not be divisible by
+    # the requested chunk (e.g. 576 tris, chunk 128): fall back to the
+    # gcd so every CLUSTER_SIZE-padded scene chunks exactly.
+    chunk = math.gcd(min(chunk, T), T)
     n_chunks = T // chunk
     assert n_chunks * chunk == T, (T, chunk)
 
