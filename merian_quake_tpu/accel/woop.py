@@ -103,20 +103,30 @@ def bake_candidacy(w: np.ndarray, cand: np.ndarray) -> np.ndarray:
 
 
 def _kernel_stream(
-    order_ref, te_ref, rays_ref, w_hbm, t0_ref, i0_ref, out_ref, idx_ref,
-    wbuf, sems, *, max_visits=None, start_visit=0, simple=False,
-    anyhit=False, fastdiv=False,
+    order_ref, te_ref, cb_ref, rays_ref, w_hbm, t0_ref, i0_ref, out_ref,
+    idx_ref, wbuf, sems, slot_cid, *, chunk, max_visits=None,
+    start_visit=0, simple=False, anyhit=False, fastdiv=False,
 ):
     """Per-ray-block streaming sweep (one grid step per ray block).
 
     The cluster loop runs INSIDE the kernel: clusters are visited in
     this block's own near-to-far order (te ascending, precomputed
-    XLA-side), each tile's w rows are streamed HBM→VMEM through a
-    4-slot / depth-3 prefetch pipeline, and the loop goes dead at the
-    first cluster whose conservative entry parameter exceeds the
-    block's horizon t̂ = max_r min(best_t_r, t_max_r) — every later
-    cluster is farther still, so this is an EXACT early-out, like a
-    BVH walk without divergent per-ray stacks.
+    XLA-side). Round-4 rework: each candidate cluster is first tested
+    by the FOLDED per-ray slab gate (same (8, B/8) full-VPU-utilization
+    gate as the resident kernel) and only reach-passing tiles are
+    streamed HBM→VMEM — the round-3 version streamed every within-
+    horizon cluster and was pure DMA latency (~4 µs/visit). Passing
+    tiles ride an ns-slot ring with depth = ns-1 copies in flight
+    (software pipeline: issuing item q computes item q-depth), so the
+    per-tile DMA latency is amortized across the ring. The loop goes
+    dead at the first cluster whose conservative entry parameter
+    exceeds the block's horizon t̂ = max_r min(best_t_r, t_max_r) — te
+    is ascending, so every later cluster is farther: an EXACT
+    early-out, like a BVH walk without divergent per-ray stacks.
+
+    The gate uses the limit/horizon as of the last computed tile
+    (compute lags issue by `depth` items) — stale limits are LARGER,
+    so gating stays conservative and results exact.
     """
     out_ref[0, :] = t0_ref[0, :]
     idx_ref[0, :] = i0_ref[0, :]
@@ -131,6 +141,47 @@ def _kernel_stream(
 
     def cid_at(j):
         return order_ref[0, 0, j]
+
+    def cb_at(j, c):
+        # visit-ordered cluster bounds, SMEM scalar load
+        return cb_ref[0, c, j]
+
+    B = rays_ref.shape[1]
+    rays_all = rays_ref[:]
+    rhs_full = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [rays_all[0:3], jnp.ones_like(rays_all[0:1]),
+                 rays_all[4:8]], axis=0
+            ),
+            jnp.concatenate(
+                [rays_all[3:6], jnp.zeros_like(rays_all[0:1]),
+                 rays_all[4:8]], axis=0
+            ),
+        ],
+        axis=1,
+    )  # (8, 2B)
+
+    # per-ray slab-gate ingredients (same (1, B) row gate as the
+    # resident kernel — a folded (8, B/8) variant measured slower)
+    o3 = rays_all[0:3]
+    d3 = rays_all[3:6]
+    tiny = jnp.where(d3 >= 0.0, jnp.float32(1e-20), jnp.float32(-1e-20))
+    inv_d = 1.0 / jnp.where(jnp.abs(d3) < 1e-20, tiny, d3)
+
+    def reach_any(j):
+        # gate straight off out_ref: out only changes when a tile
+        # computes, so the limit is always current
+        limit = jnp.minimum(out_ref[0:1, :], t_max[None, :])
+        limit = limit * 1.002 + 0.05
+        tn = jnp.zeros_like(limit)
+        tf = limit
+        for c in range(3):
+            t1 = (cb_at(j, c) - o3[c : c + 1, :]) * inv_d[c : c + 1, :]
+            t2 = (cb_at(j, 3 + c) - o3[c : c + 1, :]) * inv_d[c : c + 1, :]
+            tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+            tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        return jnp.max(jnp.where(tn <= tf, 1.0, 0.0)) > 0.0
 
     # w is streamed TRANSPOSED, (8, 3T): the cluster slice cuts the
     # LANE dimension in 3C-wide chunks (3C = 384/192 — multiples of
@@ -153,82 +204,80 @@ def _kernel_stream(
     nc = te_ref.shape[-1] if max_visits is None else min(
         max_visits, te_ref.shape[-1]
     )
-    ns = wbuf.shape[0]  # slots
-    depth = ns - 1  # copies kept in flight ahead of the compute
-
-    # ---- prologue: issue the first `depth` copies from start_visit
-    # (te ascending, so the issued set is always a PREFIX — no holes)
+    ns = wbuf.shape[0]  # ring slots
+    depth = ns - 1  # issued-but-uncomputed items kept in flight
     j0 = start_visit
-    for k in range(depth):
-        i = j0 + k
-        @pl.when((i < nc) & (te_at(i) <= horizon0))
-        def _(i=i):
-            start_copy(i, i % ns)
-    ih0 = jnp.int32(j0)
-    for k in range(depth):
-        i = j0 + k
-        ih0 = ih0 + ((i < nc) & (te_at(i) <= horizon0)).astype(jnp.int32)
 
-    # while_loop, not fori: the loop TERMINATES at the first beyond-
-    # horizon cluster instead of running dead iterations (a fori over
-    # nc_pad spends ~40% of the sweep on scalar overhead of dead steps).
-    # Slot indices are kept STATIC (ns branches per site): dynamic
-    # leading-dim indexing of VMEM scratch / semaphore arrays crashes
-    # the Mosaic compiler.
-    #
-    # Pipeline invariants (measured: with 1 copy in flight the sweep is
-    # pure DMA latency, ~4 µs/visit at ray_block 2048):
-    # - copy j is issued exactly once: in the prologue (j < depth) or at
-    #   body j-depth (the loop reaching body j implies te_at(j) was
-    #   within the horizon at body j-depth, so that issue fired);
-    # - if an issue is ever gated OFF (te_at(ih) beyond the shrunken
-    #   horizon), the horizon only shrinks further, so the loop dies
-    #   before needing cluster ih — no later issues are required;
-    # - the drain waits the issued-but-unprocessed suffix [j, ih).
-    def cond(carry):
-        j, horizon, live, ih = carry
-        return live
+    def compute_item(q):
+        """Wait slot q%ns and run its tile (cluster id from slot_cid).
 
-    def body(carry):
-        j, horizon, live, ih = carry
-        slot_j = jax.lax.rem(j, ns)
-
+        Slot indices are kept STATIC (ns branches per site): dynamic
+        leading-dim indexing of VMEM scratch / semaphore arrays crashes
+        the Mosaic compiler."""
+        slot_q = jax.lax.rem(q, ns)
         for slot in range(ns):
-            @pl.when(slot_j == slot)
+            @pl.when(slot_q == slot)
             def _(slot=slot):
                 wait_copy(slot)
                 _intersect_tile(
-                    rays_ref, wbuf[slot], out_ref, idx_ref, cid_at(j),
-                    simple=simple, anyhit=anyhit, fastdiv=fastdiv,
+                    rays_ref, wbuf[slot], out_ref, idx_ref,
+                    slot_cid[slot], simple=simple, anyhit=anyhit,
+                    fastdiv=fastdiv, rhs=rhs_full, C=chunk,
                 )
 
-        horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
-        nxt = j + depth
-        do_issue = (nxt == ih) & (nxt < nc) & (te_at(nxt) <= horizon2)
-        slot_n = jax.lax.rem(nxt, ns)
+    def issue_item(j, q):
+        slot_q = jax.lax.rem(q, ns)
         for slot in range(ns):
-            @pl.when(do_issue & (slot_n == slot))
+            @pl.when(slot_q == slot)
             def _(slot=slot):
-                start_copy(nxt, slot)
-        ih2 = ih + do_issue.astype(jnp.int32)
+                slot_cid[slot] = cid_at(j)
+                start_copy(j, slot)
 
-        next_live = (j + 1 < ih2) & (te_at(j + 1) <= horizon2)
-        return j + 1, horizon2, next_live, ih2
+    # main loop over candidate clusters j (te ascending). Carry:
+    # issued = number of gate-passing items issued so far; computed
+    # lags by min(depth, issued-computed). Items are computed when a
+    # new issue would need their slot, and in the drain.
+    def cond(carry):
+        j, issued, computed, horizon, live = carry
+        return live
 
-    j_f, _, _, ih_f = jax.lax.while_loop(
+    def body(carry):
+        j, issued, computed, horizon, live = carry
+        gate = reach_any(j)
+
+        # before reusing slot issued%ns, compute the item that holds it
+        need_compute = gate & (issued - computed >= depth)
+
+        @pl.when(need_compute)
+        def _():
+            compute_item(computed)
+
+        computed2 = computed + need_compute.astype(jnp.int32)
+        horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
+
+        @pl.when(gate)
+        def _():
+            issue_item(j, issued)
+
+        issued2 = issued + gate.astype(jnp.int32)
+        next_live = (j + 1 < nc) & (te_at(j + 1) <= horizon2)
+        return j + 1, issued2, computed2, horizon2, next_live
+
+    j_f, issued_f, computed_f, _, _ = jax.lax.while_loop(
         cond, body,
-        (jnp.int32(j0), horizon0, ih0 > j0, ih0),
+        (
+            jnp.int32(j0), jnp.int32(0), jnp.int32(0), horizon0,
+            (j0 < nc) & (te_at(j0) <= horizon0),
+        ),
     )
 
-    # ---- drain issued-but-unprocessed copies so no semaphore leaks
+    # ---- drain issued-but-uncomputed items so no semaphore leaks
     # into the next grid step ----
     for k in range(depth):
-        i = j_f + k
-        slot_i = jax.lax.rem(i, ns)
-        for slot in range(ns):
-            @pl.when((i < ih_f) & (slot_i == slot))
-            def _(slot=slot):
-                wait_copy(slot)
+        q = computed_f + k
+        @pl.when(q < issued_f)
+        def _(q=q):
+            compute_item(q)
 
 
 def _kernel_resident(
@@ -275,6 +324,24 @@ def _kernel_resident(
     def cid_at(j):
         return order_ref[0, 0, j]
 
+    # loop-invariant matmul rhs, hoisted out of the visit loop (the
+    # per-visit concat was ~64 VREG copies per executed tile)
+    B = rays_ref.shape[1]
+    rays_all = rays_ref[:]
+    rhs_full = jnp.concatenate(
+        [
+            jnp.concatenate(
+                [rays_all[0:3], jnp.ones_like(rays_all[0:1]),
+                 rays_all[4:8]], axis=0
+            ),
+            jnp.concatenate(
+                [rays_all[3:6], jnp.zeros_like(rays_all[0:1]),
+                 rays_all[4:8]], axis=0
+            ),
+        ],
+        axis=1,
+    )  # (8, 2B)
+
     if percull:
         # loop-invariant per-ray slab ingredients (d == 0 clamped to a
         # tiny signed value: inv stays finite, products overflow to
@@ -304,16 +371,22 @@ def _kernel_resident(
                 tf = jnp.minimum(tf, jnp.maximum(t1, t2))
             return jnp.where(tn <= tf, 1.0, 0.0)  # (1, B)
 
-        def reachable(j):
-            return jnp.max(reach_row(j)) > 0.0
-    else:
-        def reachable(j):
-            return True
-
     nc = te_ref.shape[-1] if max_visits is None else min(
         max_visits, te_ref.shape[-1]
     )
     j0 = start_visit
+
+    if not percull:
+        def reachable(j):
+            return True
+    else:
+        def reachable(j):
+            # NOTE (round 4): a folded (8, B/8) gate variant was built
+            # and measured 45% SLOWER than this (1, B) row gate at
+            # rb=4096 — Mosaic lays (1, B) rows out as dense 1-D
+            # vectors, so the fold bought no utilization and paid
+            # concat + lax.cond overhead. Keep the row gate.
+            return jnp.max(reach_row(j)) > 0.0
 
     # ``group`` clusters are swept per loop iteration: the loop's fixed
     # scalar cost (carry sync, horizon/te reduces) measured ~0.6 µs —
@@ -386,6 +459,7 @@ def _kernel_resident(
                     _intersect_tile(
                         rays_ref, w_ref[cid], out_ref, idx_ref, cid,
                         simple=simple, anyhit=anyhit, fastdiv=fastdiv,
+                        rhs=rhs_full,
                     )
                 else:
                     @pl.when(gate)
@@ -393,6 +467,7 @@ def _kernel_resident(
                         _intersect_tile(
                             rays_ref, w_ref[cid], out_ref, idx_ref, cid,
                             simple=simple, anyhit=anyhit, fastdiv=fastdiv,
+                            rhs=rhs_full,
                         )
         horizon2 = jnp.max(jnp.minimum(out_ref[0, :], t_max))
         next_live = (j + group < nc) & (te_at(j + group) <= horizon2)
@@ -519,33 +594,38 @@ def _fast_div(num, den):
 
 def _intersect_tile(rays_ref, w, out_ref, idx_ref, cluster_id,
                     simple=False, anyhit=False, fastdiv=False,
-                    col0=0, ncol=None):
+                    col0=0, ncol=None, rhs=None, C=None):
     div = _fast_div if fastdiv else (lambda n, d: n / d)
     if ncol is None:
         rays = rays_ref[:]  # (8, B)
     else:
         rays = rays_ref[:, col0:col0 + ncol]  # (8, ncol) sub-block
     # w: (8, 3C) TRANSPOSED row blocks [row0s | row1s | row2s] along
-    # lanes, rows 0-3 used
+    # lanes, rows 0-3 used. ``C`` is passed explicitly when w carries
+    # lane padding past 3C (the streaming path pads each cluster block
+    # to a 128-multiple for DMA alignment); the pad rows of the matmul
+    # output are simply never sliced.
     t_min, t_max = rays[6:7], rays[7:8]  # (1, B)
 
     B = rays.shape[1]
-    o_aug = jnp.concatenate(
-        [rays[0:3], jnp.ones_like(rays[0:1]), rays[4:8]], axis=0
-    )
-    d_aug = jnp.concatenate(
-        [rays[3:6], jnp.zeros_like(rays[0:1]), rays[4:8]], axis=0
-    )
-    # rows 4..7 of the augmented vectors are garbage — the matching w
-    # columns are zero, so they do not contribute.
-    rhs = jnp.concatenate([o_aug, d_aug], axis=1)  # (8, 2B)
+    if rhs is None:
+        o_aug = jnp.concatenate(
+            [rays[0:3], jnp.ones_like(rays[0:1]), rays[4:8]], axis=0
+        )
+        d_aug = jnp.concatenate(
+            [rays[3:6], jnp.zeros_like(rays[0:1]), rays[4:8]], axis=0
+        )
+        # rows 4..7 of the augmented vectors are garbage — the matching
+        # w columns are zero, so they do not contribute.
+        rhs = jnp.concatenate([o_aug, d_aug], axis=1)  # (8, 2B)
 
     # ONE matmul per tile: (8, 3C)ᵀ @ (8, 2B) → (3C, 2B) on the MXU
     big = jax.lax.dot_general(
         w, rhs, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    C = w.shape[1] // 3
+    if C is None:
+        C = w.shape[1] // 3
     u0 = big[0:C, 0:B]
     v0 = big[C : 2 * C, 0:B]
     z0 = big[2 * C : 3 * C, 0:B]
@@ -1018,23 +1098,49 @@ def intersect_woop_packed(
             **common,
         )(order, te_s, cb, rays, w_res, t0, i0)
         return out, idx
+    # per-block VISIT-ORDERED cluster bounds for the in-kernel gate
+    cb_vals = jnp.concatenate(
+        [
+            jnp.asarray(cluster_lo, jnp.float32).T,
+            jnp.asarray(cluster_hi, jnp.float32).T,
+            jnp.zeros((2, nc), jnp.float32),
+        ],
+        axis=0,
+    )  # (8, nc)
+    cb = jnp.take(cb_vals, order[:, 0, :], axis=1)  # (8, nb, nc_pad)
+    cb = cb.transpose(1, 0, 2)  # (nb, 8, nc_pad)
+    spec_cb = pl.BlockSpec(
+        (1, 8, nc_pad), lambda i: (i, 0, 0), memory_space=pltpu.SMEM
+    )
+    n_slots = 8  # ring slots: depth-7 software pipeline hides DMA latency
+    # each cluster's streamed block is padded on the lane axis to a
+    # 128-multiple: manual DMA slices must be tile-aligned (Mosaic
+    # rejects the raw 3C = 192 slice that CLUSTER_SIZE = 64 produces)
+    c3 = 3 * chunk
+    c3p = ((c3 + 127) // 128) * 128
+    wt = w.T  # (8, 3T)
+    if c3p != c3:
+        wt = jnp.pad(
+            wt.reshape(8, nc, c3), ((0, 0), (0, 0), (0, c3p - c3))
+        ).reshape(8, nc * c3p)
     out, idx = pl.pallas_call(
         functools.partial(
             _kernel_stream,
-            max_visits=max_visits, start_visit=start_visit, simple=simple,
-            anyhit=anyhit, fastdiv=fastdiv,
+            chunk=chunk, max_visits=max_visits, start_visit=start_visit,
+            simple=simple, anyhit=anyhit, fastdiv=fastdiv,
         ),
         in_specs=[
-            spec_order, spec_te, spec_rays,
+            spec_order, spec_te, spec_cb, spec_rays,
             pl.BlockSpec(memory_space=pl.ANY),  # w stays in HBM
             spec_init, spec_init,
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, 8, 3 * chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((n_slots, 8, c3p), jnp.float32),
+            pltpu.SemaphoreType.DMA((n_slots,)),
+            pltpu.SMEM((n_slots,), jnp.int32),
         ],
         **common,
-    )(order, te_s, rays, w.T, t0, i0)
+    )(order, te_s, cb, rays, wt, t0, i0)
     return out, idx
 
 
