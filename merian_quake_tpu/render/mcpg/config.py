@@ -87,6 +87,14 @@ class MCPGConfig(NamedTuple):
     # (mc_state_kappa, mc.glsl:43-46); on this implementation moderate
     # caps measurably reduce guided-MIS variance (see test sweep).
     kappa_max: float = 30.0
+    # locality-preserving guide-table layout (round 4): cells are hashed
+    # per TILE of 8^b cells and placed at consecutive rows within the
+    # tile's bucket, so neighboring draws coalesce in HBM instead of
+    # hitting fully random rows (the dominant production-scale cost,
+    # docs/perf_notes_r3.md). Same load factor / collision rate as the
+    # reference's scrambled layout (mc.glsl:60-111); 0 = reference
+    # layout. Applies to both MC grids and the light cache.
+    grid_tile_bits: int = 2
     # volume single scattering (None = surface only); see volume.py
     volume: object = None
 

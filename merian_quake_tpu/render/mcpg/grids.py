@@ -130,7 +130,8 @@ def adaptive_cell(rng_state, pos, normal, cam_x, cfg: MCPGConfig,
         pos, _adaptive_width_for_level(level.astype(jnp.float32), cfg)[..., None], u3
     )
     buf = hashgrid.hash_grid_normal_level(
-        idx, normal, level.astype(_U32), cfg.mc_adaptive_size
+        idx, normal, level.astype(_U32), cfg.mc_adaptive_size,
+        tile_bits=cfg.grid_tile_bits,
     )
     h = hashgrid.hash2_grid_level(idx, level.astype(_U32))
     return rng_state, buf, h
@@ -140,7 +141,9 @@ def static_cell(rng_state, pos, cfg: MCPGConfig):
     """Static cell: (rng, buffer_index [offset past adaptive], hash16)."""
     rng_state, u3 = rng_ops.uniform3(rng_state)
     idx = hashgrid.grid_idx_interpolate(pos, cfg.mc_static_width, u3)
-    buf = hashgrid.hash_grid(idx, cfg.mc_static_size) + _U32(cfg.mc_adaptive_size)
+    buf = hashgrid.hash_grid(
+        idx, cfg.mc_static_size, tile_bits=cfg.grid_tile_bits
+    ) + _U32(cfg.mc_adaptive_size)
     h = hashgrid.hash2_grid(idx)
     return rng_state, buf, h
 

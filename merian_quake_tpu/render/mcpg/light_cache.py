@@ -39,7 +39,9 @@ def _lc_cell(rng_state, pos, normal, level, cfg: MCPGConfig):
         pos, _lc_width_for_level(level, cfg)[..., None], u3
     )
     lvl = level.astype(jnp.int32).astype(_U32)
-    buf = hashgrid.hash_grid_normal_level(idx, normal, lvl, cfg.lc_size)
+    buf = hashgrid.hash_grid_normal_level(
+        idx, normal, lvl, cfg.lc_size, tile_bits=cfg.grid_tile_bits
+    )
     h = hashgrid.hash2_grid_level(idx, lvl)
     return rng_state, buf, h
 

@@ -43,18 +43,73 @@ _A_NORMAL = 34
 _A_TEXEL_DENSITY = 35
 
 
+_SKY_BAKE_N = 256
+
+
 def _classic_sky(atlas: TextureAtlas, uniforms: Uniforms, w: jnp.ndarray):
-    """Classic scrolling two-layer Quake sky (raytrace.glsl:36-43)."""
-    st = 0.5 + jnp.stack([w[..., 0], w[..., 1]], axis=-1) / jnp.maximum(
-        jnp.abs(w[..., 2]), 1e-4
-    )[..., None]
+    """Classic scrolling two-layer Quake sky (raytrace.glsl:36-43).
+
+    TPU cost note: the color is a function of q = w.xy/|w.z| alone and
+    is PERIODIC in q with period 1 (both layers scroll rigidly), so it
+    is baked onto a 256² grid over one period — 65k lanes of the full
+    two-layer bilinear math, CSE'd to once per frame across every
+    trace_ray call — and each ray pays ONE row gather instead of the
+    ~10 (2 × bilinear + rect) the direct evaluation costs on every
+    lane of every segment (~120 ms/frame per 2M-lane pass measured).
+    256² samples one sky-period at 4× the 64² source resolution, so
+    the nearest-neighbor lookup stays at bilinear quality; the sky
+    compresses toward the horizon (|w.z| → 0) where the quantization
+    is far below noise level."""
     t = uniforms.cl_time * 0.12
+    nb = _SKY_BAKE_N
+    qx = (jnp.arange(nb, dtype=jnp.float32) + 0.5) / nb
+    qg = jnp.stack(jnp.meshgrid(qx, qx, indexing="ij"), axis=-1).reshape(
+        -1, 2
+    )  # (nb², 2) one period of q, [x, y]
+    st = 0.5 + qg
     bck = atlas_mod.sample_bilinear(
         atlas, uniforms.sky_classic[0], st + 0.5 * t
     )
     fnt = atlas_mod.sample_bilinear(atlas, uniforms.sky_classic[1], st + t)
     tex = bck[..., :3] * (1.0 - fnt[..., 3:4]) + fnt[..., :3] * fnt[..., 3:4]
-    return 10.0 * (jnp.exp2(3.5 * tex) - 1.0)
+    baked = 10.0 * (jnp.exp2(3.5 * tex) - 1.0)  # (nb², 3)
+
+    q = jnp.stack([w[..., 0], w[..., 1]], axis=-1) / jnp.maximum(
+        jnp.abs(w[..., 2]), 1e-4
+    )[..., None]
+    qf = q - jnp.floor(q)
+    xi = jnp.clip((qf[..., 0] * nb).astype(jnp.int32), 0, nb - 1)
+    yi = jnp.clip((qf[..., 1] * nb).astype(jnp.int32), 0, nb - 1)
+    return jnp.take(baked, xi * nb + yi, axis=0)
+
+
+_CUBE_BAKE_N = 512
+
+
+def _cubemap_sky_baked(atlas: TextureAtlas, uniforms: Uniforms, w):
+    """Cubemap sky via a per-frame octahedral bake (one gather/ray).
+
+    Same cost structure as the classic-sky bake: the direct six-face
+    bilinear sample costs ~6 row gathers on every lane of every
+    segment; here the skybox is resampled once per frame onto a 512²
+    octahedral direction map (262k lanes, CSE'd across trace calls)
+    and each ray pays one gather. 512² octa ≈ 210² per face — above
+    the typical Quake skybox face resolution; deviation is a
+    resampling blur, documented vs raytrace.glsl:45-59."""
+    from ..ops import octahedral
+
+    nb = _CUBE_BAKE_N
+    gx = (jnp.arange(nb, dtype=jnp.float32) + 0.5) / nb * 2.0 - 1.0
+    uv = jnp.stack(jnp.meshgrid(gx, gx, indexing="ij"), axis=-1).reshape(
+        -1, 2
+    )
+    dirs = octahedral.from_oct(uv)  # (nb², 3) unit directions
+    baked = _cubemap_sky(atlas, uniforms, dirs)  # (nb², 3)
+
+    e = octahedral.to_oct(w)  # [-1, 1]²
+    xi = jnp.clip(((e[..., 0] * 0.5 + 0.5) * nb).astype(jnp.int32), 0, nb - 1)
+    yi = jnp.clip(((e[..., 1] * 0.5 + 0.5) * nb).astype(jnp.int32), 0, nb - 1)
+    return jnp.take(baked, xi * nb + yi, axis=0)
 
 
 def _cubemap_sky(atlas: TextureAtlas, uniforms: Uniforms, w: jnp.ndarray):
@@ -111,7 +166,7 @@ def get_sky(
     sun_color = jnp.minimum(uniforms.sun_color, materials.MAX_SUN_COLOR)
     emm = (sun_glow + sun_disc)[..., None] * sun_color
     if sky_mode == "cubemap":
-        return emm + _cubemap_sky(atlas, uniforms, w)
+        return emm + _cubemap_sky_baked(atlas, uniforms, w)
     return emm
 
 
