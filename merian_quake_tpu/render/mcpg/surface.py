@@ -250,7 +250,7 @@ def render_mcpg_surface(
             )
             ka_exact = K * mcfg.mc_samples_adaptive_prob
             score_sum = jnp.zeros((ns,))
-            mus, kappas, scores = [], [], []
+            mus, kappas, scores, draw_ns = [], [], [], []
             rng_state, win = grids.new_state(rng_state)
             win_buf = jnp.full((ns,), -1, jnp.int32)
             for k in range(K):
@@ -310,22 +310,30 @@ def render_mcpg_surface(
                 mus.append(mu_i)
                 kappas.append(kap_i)
                 scores.append(st.sum_w)
+                draw_ns.append(st.N)
 
             have_guide = score_sum > 0.0
 
             # ---- defensive direction sampling ----
-            # per-lane defensive probability: immature winner chains
-            # (small N) sample mostly BSDF — no 1/surf_bsdf_p variance
-            # tax while the lobes are still learning (see config
-            # surf_bsdf_trust_n). The same value feeds the MIS pdf
-            # below, so the estimator stays unbiased.
-            if mcfg.surf_bsdf_trust_n > 0:
-                maturity = win.N.astype(jnp.float32) / (
-                    win.N.astype(jnp.float32) + float(mcfg.surf_bsdf_trust_n)
+            # per-DRAW defensive probability: immature chains (small N)
+            # sample mostly BSDF — no 1/surf_bsdf_p variance tax while
+            # the lobes are still learning (config surf_bsdf_trust_n).
+            # The sample decision uses the realized winner's sbp; the
+            # MIS pdf below mixes per-draw sbp_i over the reservoir
+            # weights, which is EXACTLY the marginal sampling density
+            # (round-4 fix: the r3 code put the realized winner's sbp
+            # in the pdf, a small bias whenever the K drawn states'
+            # maturities differed).
+            def _sbp_of(n_arr):
+                if mcfg.surf_bsdf_trust_n <= 0:
+                    return jnp.full(n_arr.shape, mcfg.surf_bsdf_p)
+                mat = n_arr.astype(jnp.float32) / (
+                    n_arr.astype(jnp.float32)
+                    + float(mcfg.surf_bsdf_trust_n)
                 )
-                sbp = 1.0 - (1.0 - mcfg.surf_bsdf_p) * maturity
-            else:
-                sbp = jnp.full((ns,), mcfg.surf_bsdf_p)
+                return 1.0 - (1.0 - mcfg.surf_bsdf_p) * mat
+
+            sbp = _sbp_of(win.N)
             rng_state, u_b = rng_ops.uniform(rng_state)
             use_bsdf = (~have_guide) | (u_b < sbp)
             alpha = bsdf.roughness_to_alpha(cur.roughness)
@@ -343,17 +351,22 @@ def render_mcpg_surface(
             below = (wodotn <= 1e-3) | (linalg.dot(wo, cur.geo_normal) <= 1e-3)
             active = ~done & ~below
 
-            # ---- MIS pdf (mcpg.comp:127-136) ----
+            # ---- MIS pdf (mcpg.comp:127-136): exact marginal of the
+            # per-draw defensive mixture ----
+            safe_sum = jnp.where(have_guide, score_sum, 1.0)
+            bsdf_mix = jnp.zeros((ns,))
             guided_p = jnp.zeros((ns,))
-            for mu_i, kap_i, sc_i in zip(mus, kappas, scores):
-                guided_p = guided_p + sc_i * vmf.pdf(wo, mu_i, kap_i)
-            guided_p = jnp.where(
-                have_guide, guided_p / jnp.where(have_guide, score_sum, 1.0), 0.0
-            )
+            for mu_i, kap_i, sc_i, n_i in zip(mus, kappas, scores, draw_ns):
+                sbp_i = _sbp_of(n_i)
+                w_i = sc_i / safe_sum
+                bsdf_mix = bsdf_mix + w_i * sbp_i
+                guided_p = guided_p + w_i * (1.0 - sbp_i) * vmf.pdf(
+                    wo, mu_i, kap_i
+                )
             bsdf_p = bsdf.pdf(cur.wi, wo, cur.normal, alpha)
             wo_p = (
-                jnp.where(have_guide, sbp, 1.0) * bsdf_p
-                + (1.0 - sbp) * guided_p
+                jnp.where(have_guide, bsdf_mix, 1.0) * bsdf_p
+                + jnp.where(have_guide, guided_p, 0.0)
             )
 
             # ---- trace next segment (dead lanes masked: they trace
