@@ -276,6 +276,7 @@ def _cmd_certify(args) -> int:
         ref_runs=args.ref_runs,
         realtime_frames=args.realtime_frames,
         out_path=args.out,
+        convergence_dir=args.convergence_dir,
     )
     print(json.dumps(results, indent=2))
     print(f"wrote {args.out}")
@@ -390,6 +391,9 @@ def main(argv=None) -> int:
                     help="candidate budget for the real-time reuse "
                          "estimators (ReSTIR/SSMM)")
     pc.add_argument("--out", default="CERT_relmse.json")
+    pc.add_argument("--convergence-dir", default=None,
+                    help="also write per-preset power-of-2 relMSE "
+                         "convergence CSVs (error_plot.py workflow)")
     pc.set_defaults(fn=_cmd_certify)
 
     args = p.parse_args(argv)

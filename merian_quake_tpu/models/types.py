@@ -20,7 +20,7 @@ from . import materials
 
 # Triangles are grouped into fixed-size clusters for the two-level
 # intersection structure (accel/). Scene arrays are padded to a multiple.
-CLUSTER_SIZE = 64  # round-3 retune: 64-tri tiles + 4096-ray blocks beat 128/2048 by ~20% (reach gates skip more pair waste, fixed costs amortize over bigger blocks)
+CLUSTER_SIZE = 64  # round-3 retune: 64-tri tiles + 4096-ray blocks beat 128/2048 by ~20% (reach gates skip more pair waste, fixed costs amortize over bigger blocks); r4 re-check: 64 still beats 128 (1016 vs 1037 ms) and 32 (1041)
 
 
 class TextureAtlas(NamedTuple):

@@ -87,14 +87,19 @@ class MCPGConfig(NamedTuple):
     # (mc_state_kappa, mc.glsl:43-46); on this implementation moderate
     # caps measurably reduce guided-MIS variance (see test sweep).
     kappa_max: float = 30.0
-    # locality-preserving guide-table layout (round 4): cells are hashed
-    # per TILE of 8^b cells and placed at consecutive rows within the
-    # tile's bucket, so neighboring draws coalesce in HBM instead of
-    # hitting fully random rows (the dominant production-scale cost,
-    # docs/perf_notes_r3.md). Same load factor / collision rate as the
-    # reference's scrambled layout (mc.glsl:60-111); 0 = reference
-    # layout. Applies to both MC grids and the light cache.
-    grid_tile_bits: int = 2
+    # locality-preserving guide-table layout: cells hashed per TILE of
+    # 8^b cells, placed at consecutive rows within the tile's bucket
+    # (built for VERDICT r3 #3). MEASURED A LOSS on chip and left OFF:
+    # XLA's TPU row gather is locality-INSENSITIVE — a direct probe on
+    # the 33.6M-row production table timed tile-local and sequential
+    # indices at ~30 ns/row vs ~16 ns fully random (scripts/
+    # perf_probe_r4.py methodology), and the production frame ran
+    # 3610 ms untiled vs 3690 tiled. The r3 hypothesis that a
+    # locality-preserving layout would recover the small-table gather
+    # rate is disproven; kept as a knob for future backends. Same load
+    # factor / collision rate as the reference layout either way
+    # (mc.glsl:60-111). Applies to both MC grids and the light cache.
+    grid_tile_bits: int = 0
     # volume single scattering (None = surface only); see volume.py
     volume: object = None
 

@@ -60,9 +60,15 @@ def _unguided_config(cfg, integ_config):
     return cfg._replace(integrator="pt"), None
 
 
-def _run(bundle, config, integ_config, frames, frame_offset=0):
+def _run(bundle, config, integ_config, frames, frame_offset=0,
+         snapshots=None):
     """Accumulated beauty INCLUDING the volume term (fog-aware truth:
-    see module docstring — both sides estimate the same transport)."""
+    see module docstring — both sides estimate the same transport).
+
+    ``snapshots``: optional sorted list of frame counts at which to
+    also record the accumulated image (the reference's power-of-2
+    ImageWrite trigger, default_config.json:536-567) — returns
+    (final, {count: image}) instead of just final."""
     import jax.numpy as jnp
 
     from ..accel.build import build_accel
@@ -72,11 +78,16 @@ def _run(bundle, config, integ_config, frames, frame_offset=0):
     state = init_state(config, integ_config)
     uniforms = bundle.uniforms
     outputs = None
+    snaps = {}
     for i in range(frames):
         uniforms = uniforms._replace(frame=jnp.uint32(frame_offset + i))
         state, outputs = render_frame(
             accel, bundle.atlas, uniforms, config, state, integ_config
         )
+        if snapshots and (i + 1) in snapshots:
+            snaps[i + 1] = np.asarray(outputs["hdr"])
+    if snapshots:
+        return np.asarray(outputs["hdr"]), snaps
     return np.asarray(outputs["hdr"])
 
 
@@ -88,6 +99,7 @@ def certify_presets(
     ref_runs: int = 4,
     realtime_frames: int = 8,
     out_path: str | None = None,
+    convergence_dir: str | None = None,
 ) -> dict:
     """Returns {preset: {relmse, relmse_pt_equal_budget, ratio, ...}}.
 
@@ -130,7 +142,16 @@ def certify_presets(
                 bundle, ref_cfg, ref_integ, ref_frames,
                 frame_offset=1_000_000 * (r + 1),
             ) / ref_runs
-        test = _run(bundle, cfg, p.integ_config, p_frames)
+        if convergence_dir:
+            # power-of-2 convergence series (error_plot.py:27-60
+            # workflow): relMSE of the accumulated estimate vs truth
+            snap_at = [f for f in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+                       if f <= p_frames]
+            test, snaps = _run(
+                bundle, cfg, p.integ_config, p_frames, snapshots=snap_at
+            )
+        else:
+            test = _run(bundle, cfg, p.integ_config, p_frames)
         pt_eq = (
             test
             if cfg.integrator == "pt"
@@ -162,6 +183,19 @@ def certify_presets(
                       "(BASELINE.md); tracked proxies: ratio_vs_pt, "
                       "ratio_trimmed_vs_pt",
         }
+        if convergence_dir:
+            import os
+
+            os.makedirs(convergence_dir, exist_ok=True)
+            path = os.path.join(convergence_dir, f"{name}_convergence.csv")
+            with open(path, "w") as f:
+                f.write("frames,relmse,relmse_trimmed\n")
+                for fr in sorted(snaps):
+                    f.write(
+                        f"{fr},{relmse(snaps[fr], truth):.6g},"
+                        f"{relmse_trimmed(snaps[fr], truth):.6g}\n"
+                    )
+            results[name]["convergence_csv"] = path
     if out_path:
         with open(out_path, "w") as f:
             json.dump(results, f, indent=2)
