@@ -158,6 +158,23 @@ def _cmd_play(args) -> int:
         # scripted input: wander toward the room center, then orbit
         yaw = 20.0 + 1.2 * i
         scene, uniforms = live.step(dt, forward=180.0, yaw=yaw)
+        if live.host.changelevel_target:
+            # the reference's don't-render path (clear.comp + the
+            # gbuffer CLEAR variant, render_mcpg/clear.comp): while the
+            # game is between maps the renderer emits cleared frames
+            # instead of stale geometry; accumulation/history restart
+            # at iteration 0 on the new worldspawn (render_mcpg.cpp:
+            # 221-241 zero-fill on reconnect)
+            target = live.host.changelevel_target
+            print(f"[game] changelevel → {target}: clear frame, reload")
+            if args.save_all:
+                save_png(
+                    args.out.replace(".png", f"_{i:04d}.png"),
+                    np.zeros((h, w, 3), np.float32),
+                )
+            live = make_arena(dynamic_capacity=1024)
+            state = init_state(cfg, mcfg)
+            continue
         if mixer is not None:
             from .game.live import angle_vectors
 

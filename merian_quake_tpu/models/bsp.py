@@ -220,35 +220,94 @@ def load_bsp(data: bytes) -> BspMap:
     )
 
 
+# Per-map worldspawn patches (quake_node.cpp:304-310): some maps carry
+# wrong/missing sun keys and the reference hardcodes fixes keyed on a
+# distinctive worldspawn property. Data-driven here so more maps can be
+# added; each entry: (match key, match value) -> (sun_dir, sun_color).
+WORLDSPAWN_SUN_PATCHES = {
+    # ad_tears (identified by its skybox prefix)
+    ("sky", "stormydays_"): (
+        np.asarray([1.0, -1.0, 1.0], np.float32),
+        6.0 * np.asarray([1.1, 1.0, 0.9], np.float32),
+    ),
+}
+
+
+def _yuv_luminance(rgb) -> float:
+    return float(0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2])
+
+
 def parse_worldspawn_sun(entities: list[dict]):
-    """Sun direction/color from worldspawn keys (quake_node.cpp:231-313
-    conventions: _sunlight, _sun_mangle/_sunlight_mangle, _sunlight_color)."""
+    """Sun direction/color from worldspawn keys, reproducing the
+    reference's conventions (quake_node.cpp:231-313):
+
+    - brightest of sunlight/sunlight2/sunlight3 by luminance, each
+      scaled by intensity/4000 with its ``<key>_color`` (white default);
+    - sun_mangle read as (yaw, pitch, roll) with yaw flipped 180° and
+      fed through Quake's AngleVectors — direction points TOWARD the
+      sun (the reference notes the convention "works on ad_azad");
+    - per-map patch table (WORLDSPAWN_SUN_PATCHES);
+    - hue-preserving clamp to MAX_SUN_COLOR (fp16 overflow guard).
+
+    Leading underscores on keys are stripped by parse_entities lookups
+    here (the reference strips them in its parse loop)."""
     ws = entities[0] if entities else {}
-    intensity = float(ws.get("_sunlight", ws.get("sunlight", 0.0)) or 0.0)
-    mangle = ws.get("_sun_mangle", ws.get("_sunlight_mangle", "0 -60 0"))
-    try:
-        yaw, pitch, _ = (float(v) for v in mangle.split()[:3])
-    except ValueError:
-        yaw, pitch = 0.0, -60.0
-    yaw_r, pitch_r = np.deg2rad(yaw), np.deg2rad(pitch)
-    # mangle points FROM the sun; we store the direction TOWARD the sun
-    d = -np.asarray(
-        [
-            np.cos(pitch_r) * np.cos(yaw_r),
-            np.cos(pitch_r) * np.sin(yaw_r),
-            np.sin(pitch_r),
-        ],
-        np.float32,
-    )
-    col = ws.get("_sunlight_color", "1 1 1")
-    try:
-        rgb = np.asarray([float(v) for v in col.split()[:3]], np.float32)
-        if rgb.max() > 2.0:
-            rgb = rgb / 255.0
-    except ValueError:
-        rgb = np.ones(3, np.float32)
-    scale = min(intensity / 100.0, materials.MAX_SUN_COLOR)
-    return d / np.linalg.norm(d), rgb * scale
+
+    def get(key, default=None):
+        return ws.get("_" + key, ws.get(key, default))
+
+    sun_color = np.zeros(3, np.float32)
+    for k in ("sunlight", "sunlight2", "sunlight3"):
+        v = get(k)
+        if v is None:
+            continue
+        col_s = get(k + "_color")
+        if col_s is not None:
+            try:
+                col = np.asarray(
+                    [float(x) for x in col_s.split()[:3]], np.float32
+                )
+            except ValueError:
+                col = np.ones(3, np.float32)
+        else:
+            col = np.ones(3, np.float32)
+        try:
+            intensity = float(int(float(v)))
+        except ValueError:
+            intensity = 0.0
+        col = col * (intensity / 4000.0)
+        if _yuv_luminance(col) > _yuv_luminance(sun_color):
+            sun_color = col
+
+    mangle = get("sun_mangle")
+    if mangle is not None:
+        try:
+            a0, a1, _ = (float(x) for x in mangle.split()[:3])
+        except ValueError:
+            a0, a1 = 0.0, 0.0
+        # reference order: first number → yaw, second → pitch, with the
+        # yaw flipped by 180° before AngleVectors (forward.z = -sin p)
+        yaw_r = np.deg2rad(a0 - 180.0)
+        pitch_r = np.deg2rad(a1)
+        d = np.asarray(
+            [
+                np.cos(pitch_r) * np.cos(yaw_r),
+                np.cos(pitch_r) * np.sin(yaw_r),
+                -np.sin(pitch_r),
+            ],
+            np.float32,
+        )
+    else:
+        d = np.ones(3, np.float32)
+
+    for (mk, mv), (pd, pc) in WORLDSPAWN_SUN_PATCHES.items():
+        if get(mk) == mv:
+            d, sun_color = pd.copy(), pc.copy()
+
+    mx = float(sun_color.max())
+    if mx > materials.MAX_SUN_COLOR:
+        sun_color = sun_color / mx * materials.MAX_SUN_COLOR
+    return d / max(np.linalg.norm(d), 1e-12), sun_color
 
 
 class BspCollision(NamedTuple):

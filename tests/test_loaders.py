@@ -151,3 +151,49 @@ def test_palette_conventions():
     assert rgba[0, 0, 3] == 255
     fb = pal.fullbright_mask(pix)
     assert fb.tolist() == [[False, True], [False, True]]
+
+
+def test_worldspawn_sun_reference_conventions():
+    """quake_node.cpp:231-313 semantics: brightest of sunlight/2/3 by
+    luminance at intensity/4000, sun_mangle yaw-flip, the ad_tears
+    patch table, and the hue-preserving MAX_SUN_COLOR clamp."""
+    import numpy as np
+
+    # brightest-by-luminance wins; colors scale by intensity/4000
+    ents = [{
+        "classname": "worldspawn",
+        "_sunlight": "100",
+        "_sunlight2": "400",
+        "_sunlight2_color": "1 0.5 0.25",
+    }]
+    d, col = parse_worldspawn_sun(ents)
+    np.testing.assert_allclose(
+        col, np.asarray([1, 0.5, 0.25]) * 400 / 4000.0, rtol=1e-6
+    )
+    # default direction (no mangle) = normalized (1,1,1)
+    np.testing.assert_allclose(d, np.ones(3) / np.sqrt(3), rtol=1e-6)
+
+    # sun_mangle: first = yaw (flipped 180), second = pitch
+    ents = [{"classname": "worldspawn", "_sun_mangle": "0 -90 0"}]
+    d, _ = parse_worldspawn_sun(ents)
+    np.testing.assert_allclose(d, [0, 0, 1], atol=1e-6)  # straight up
+    ents = [{"classname": "worldspawn", "_sun_mangle": "0 0 0"}]
+    d, _ = parse_worldspawn_sun(ents)
+    np.testing.assert_allclose(d, [-1, 0, 0], atol=1e-6)  # yaw flip
+
+    # ad_tears patch (sky prefix match)
+    ents = [{"classname": "worldspawn", "sky": "stormydays_",
+             "_sunlight": "100"}]
+    d, col = parse_worldspawn_sun(ents)
+    np.testing.assert_allclose(d, np.asarray([1, -1, 1]) / np.sqrt(3),
+                               rtol=1e-6)
+    np.testing.assert_allclose(col, [6.6, 6.0, 5.4], rtol=1e-6)
+
+    # fp16 overflow clamp preserves hue
+    from merian_quake_tpu.models import materials
+
+    ents = [{"classname": "worldspawn", "_sunlight": "400000",
+             "_sunlight_color": "1 0.5 0.25"}]
+    _, col = parse_worldspawn_sun(ents)
+    assert abs(col.max() - materials.MAX_SUN_COLOR) < 1e-4
+    np.testing.assert_allclose(col / col[0], [1, 0.5, 0.25], rtol=1e-5)
