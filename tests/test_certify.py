@@ -23,15 +23,16 @@ def test_certify_mcpg_court_within_factor():
     equal budget must stay within a small factor of unguided transport
     on the sun-lit court (the defensive-mixture tax scene; the real
     certification runs at larger scale on the chip). Round-2 gate was
-    < 10; round-3 quality fixes (maturity-gated defensive probability,
-    clamped guiding updates) tightened it."""
+    < 10, round-3 < 2.5/1.6; the round-4 volume maturity gate + exact
+    per-draw MIS marginal measure ~1.03 here (deterministic at this
+    scale), so the gate pins near-parity."""
     r = certify_presets(
         names=["config5"], scale=0.05, frames=6, ref_frames=48, ref_runs=2
     )["config5"]
     assert np.isfinite(r["relmse"])
     assert r["volume_included"] is True
-    assert r["ratio_vs_pt"] < 2.5, r
-    assert r["ratio_trimmed_vs_pt"] < 1.6, r
+    assert r["ratio_vs_pt"] < 1.15, r
+    assert r["ratio_trimmed_vs_pt"] < 1.15, r
 
 
 def test_certify_guiding_bound_alcove_beats_pt():
