@@ -49,8 +49,14 @@ _INF = jnp.float32(np.inf)
 
 # largest triangle count whose packed Woop table (96 B/tri) is kept
 # fully VMEM-resident during the sweep (~6 MB of the ~16 MB VMEM);
-# larger scenes stream clusters HBM→VMEM with double buffering
+# larger scenes run the PARTITIONED resident sweep (_sweep_parts):
+# ≤ this many triangles per part, parts chained through per-ray best-t
 RESIDENT_MAX_TRIS = 65536
+
+
+def _part_tris() -> int:
+    """Per-part triangle budget for _sweep_parts (test/tuning knob)."""
+    return int(os.environ.get("MQ_PART_TRIS", "0")) or RESIDENT_MAX_TRIS
 
 
 def build_woop(
@@ -1144,6 +1150,59 @@ def intersect_woop_packed(
     return out, idx
 
 
+def _sweep_parts(
+    rays, w, cluster_lo, cluster_hi, kw, init=None, anyhit=False,
+):
+    """Partitioned RESIDENT sweep for tables too large for VMEM.
+
+    Round-5 replacement for the per-visit HBM→VMEM streaming path
+    (docs/perf_notes_r4.md measured it ~4 µs/visit, pure DMA latency):
+    the cluster table is split into parts of ≤ RESIDENT_MAX_TRIS
+    triangles, and each part runs the RESIDENT kernel — its (nc_p, 8,
+    3C) Woop slab rides the pallas pipeline's constant index map, so
+    the whole part is copied HBM→VMEM ONCE per sweep (a few MB) instead
+    of once per (ray-block, cluster) visit (tens of GB at map scale).
+    Parts chain through the per-ray best-t: part p+1 starts with part
+    p's committed t as its init, so its horizon/reach gates already
+    exclude everything the earlier parts resolved. Exact: min over
+    parts = global min; the winner index is taken from the LAST part
+    that strictly improved the ray's t (the kernel only overwrites on
+    strict improvement, so "out < t_prev ⇔ this part won" holds).
+    """
+    nc = cluster_lo.shape[0]
+    chunk = kw["chunk"]
+    ncp = max(1, _part_tris() // chunk)
+    kw = dict(kw)
+    kw["resident"] = True
+    n_pad = rays.shape[1]
+    t_cur = None
+    idx_cur = None
+    if init is not None:
+        t_cur, idx_cur = init
+    for c0 in range(0, nc, ncp):
+        k = min(ncp, nc - c0)
+        w_p = w[3 * chunk * c0 : 3 * chunk * (c0 + k)]
+        init_p = (
+            None
+            if t_cur is None
+            else (t_cur, jnp.full((1, n_pad), -1, jnp.int32))
+        )
+        out, idx = intersect_woop_packed(
+            rays, w_p, cluster_lo[c0 : c0 + k], cluster_hi[c0 : c0 + k],
+            init=init_p, anyhit=anyhit, **kw,
+        )
+        if anyhit:
+            t_cur = out
+            idx_cur = idx
+            continue
+        glob = jnp.where(idx >= 0, idx + c0 * chunk, idx)
+        idx_cur = glob if idx_cur is None else jnp.where(
+            idx >= 0, glob, idx_cur
+        )
+        t_cur = out
+    return t_cur, idx_cur
+
+
 def _sort_keys(accel, o, d):
     """Bounce-ray binning key: direction octant + dominant-axis pair
     (high bits, so every sorted block has sign-consistent directions
@@ -1449,7 +1508,16 @@ def intersect_woop(
         if pad:
             t0v = jnp.concatenate([t0v, jnp.full((pad,), BIG)])
         init = (t0v[None], jnp.full((1, rays.shape[1]), -1, jnp.int32))
-    if phase1_visits and t // chunk > 2 * phase1_visits:
+    if (
+        resident is None
+        and t > _part_tris()
+        and not os.environ.get("MQ_NO_PART_RESIDENT")
+    ):
+        out, idx = _sweep_parts(
+            rays, accel.woop_w, accel.cluster_lo, accel.cluster_hi,
+            kw, init=init,
+        )
+    elif phase1_visits and t // chunk > 2 * phase1_visits:
         init = intersect_woop_packed(
             rays, accel.woop_w, accel.cluster_lo, accel.cluster_hi,
             max_visits=phase1_visits, init=init, **kw,
@@ -1535,9 +1603,20 @@ def intersect_woop_any(
             anyhit=True,
         )
         init = (pt, jnp.full((1, rays.shape[1]), -1, jnp.int32))
-    out, _ = intersect_woop_packed(
-        rays, w, accel.cluster_lo, accel.cluster_hi,
-        ray_block=ray_block, chunk=chunk, interpret=interpret,
-        resident=resident, anyhit=True, init=init,
-    )
+    if (
+        resident is None
+        and w.shape[0] // 3 > _part_tris()
+        and not os.environ.get("MQ_NO_PART_RESIDENT")
+    ):
+        out, _ = _sweep_parts(
+            rays, w, accel.cluster_lo, accel.cluster_hi,
+            dict(ray_block=ray_block, chunk=chunk, interpret=interpret),
+            init=init, anyhit=True,
+        )
+    else:
+        out, _ = intersect_woop_packed(
+            rays, w, accel.cluster_lo, accel.cluster_hi,
+            ray_block=ray_block, chunk=chunk, interpret=interpret,
+            resident=resident, anyhit=True, init=init,
+        )
     return out[0, :n] == 0.0

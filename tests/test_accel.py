@@ -268,6 +268,52 @@ def test_woop_streaming_kernel_matches_resident(rng):
     np.testing.assert_array_equal(np.asarray(stream.t), np.asarray(res.t))
 
 
+def test_woop_partitioned_sweep_matches_resident(rng, monkeypatch):
+    """Round-5 partitioned resident sweep (_sweep_parts: tables larger
+    than the VMEM budget split into parts, chained through per-ray
+    best-t) must agree exactly with the single resident sweep —
+    exercises the winner-index chaining (idx >= 0 ⇔ this part improved)
+    and the any-hit chaining (occluded rays keep best_t = 0)."""
+    from merian_quake_tpu.accel.woop import (
+        intersect_woop, intersect_woop_any,
+    )
+
+    t = 1024
+    c = rng.uniform(-40, 40, (t, 1, 3))
+    tri = c + rng.uniform(-6, 6, (t, 3, 3))
+    scene = build_scene_from_soup(
+        tri[:, 0].astype(np.float32),
+        tri[:, 1].astype(np.float32),
+        tri[:, 2].astype(np.float32),
+    )
+    acc = build_accel(scene)
+    n = 256
+    o = jnp.asarray(rng.uniform(-60, 60, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    res = intersect_woop(
+        acc, o, d, 0.0, 1e4, ray_block=128, interpret=True, resident=True
+    )
+    occ_res = intersect_woop_any(
+        acc, o, d, 1e-3, 1e4, ray_block=128, interpret=True, resident=True
+    )
+    monkeypatch.setenv("MQ_PART_TRIS", "256")  # 4 parts of 4 clusters
+    part = intersect_woop(
+        acc, o, d, 0.0, 1e4, ray_block=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(part.tri), np.asarray(res.tri))
+    np.testing.assert_array_equal(np.asarray(part.t), np.asarray(res.t))
+    occ_part = intersect_woop_any(
+        acc, o, d, 1e-3, 1e4, ray_block=128, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(occ_part), np.asarray(occ_res)
+    )
+    assert np.asarray(res.tri).max() >= 0  # hits present
+    assert (np.asarray(res.tri) < 0).any()  # misses present
+
+
 def test_woop_anyhit_matches_oracle_occlusion(rng):
     """Interpret-mode any-hit sweep vs oracle nearest-hit occlusion on
     a random soup (no sky/alpha, so the semantics coincide exactly),
