@@ -87,6 +87,16 @@ class MCPGConfig(NamedTuple):
     # (mc_state_kappa, mc.glsl:43-46); on this implementation moderate
     # caps measurably reduce guided-MIS variance (see test sweep).
     kappa_max: float = 30.0
+    # live-lane compaction budgets for the surface bounce segments
+    # (fraction of the spp·pixels lane population per segment index,
+    # last entry repeats; () = off). After bounce 1 most lanes are dead
+    # (sky/emission found) but XLA cannot skip masked lanes; segments
+    # with budget < 1 sort lanes live-first and run the whole segment
+    # body (guide draws, sampling, MIS, trace, light cache, queue
+    # emission) on the static live prefix only, falling back to full
+    # width via lax.cond when the prefix would overflow — exact either
+    # way. See docs/perf_notes_r5.md for measured live fractions.
+    surf_live_budget: tuple = ()
     # locality-preserving guide-table layout: cells hashed per TILE of
     # 8^b cells, placed at consecutive rows within the tile's bucket
     # (built for VERDICT r3 #3). MEASURED A LOSS on chip and left OFF:

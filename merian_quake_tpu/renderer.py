@@ -158,8 +158,12 @@ def frame_core(
         n_shards = shard_ctx.n if shard_ctx is not None else 1
         W, H = config.width, config.height
         surf_groups = max(config.spp, 1) * max(config.max_path_length - 1, 1)
-        gidx = queue_gidx(
-            res.updates.data.shape[0], surf_groups, W, rows, y0, H
+        gidx = (
+            res.gidx
+            if res.gidx is not None
+            else queue_gidx(
+                res.updates.data.shape[0], surf_groups, W, rows, y0, H
+            )
         )
         if mcpg_config.volume is not None:
             from .render.mcpg.volume import (

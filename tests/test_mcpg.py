@@ -309,3 +309,61 @@ def test_apply_updates_mixed_queue_and_overflow_drop():
     assert float(st2.mc.sum_w[33]) == 0.0
     # chains were created from the surviving prefix rows
     assert (np.asarray(st2.mc.sum_w) > 0).sum() >= 1
+
+
+def test_surface_live_compaction_exact(monkeypatch):
+    """Live-lane compaction (round 5): a budgeted segment sorts lanes
+    live-first and runs the body on the static prefix only — the
+    rendered irradiance must match the uncompacted path per-pixel
+    (per-lane RNG streams and math are permutation-invariant). Exact
+    bit-identity is NOT guaranteed: XLA fuses the different-width
+    programs differently, and a 1-ulp change in a sampled quantity can
+    flip an RNG decision boundary (u < p) on a handful of lanes, after
+    which those paths diverge chaotically (measured: ~0.25% of pixels
+    when a non-final segment recompiles). The check therefore requires
+    ≥99% of pixels at ulp-level agreement AND energy agreement on the
+    mean — both branches (compacted, and overflow→full-width fallback)
+    are exercised."""
+    import merian_quake_tpu.render.mcpg.surface as surf
+    from merian_quake_tpu.accel.build import build_accel, scene_features
+    from merian_quake_tpu.models.procedural import outdoor_court
+    from merian_quake_tpu.models.types import RenderConfig
+    from merian_quake_tpu.render.gbuffer import render_gbuffer
+
+    monkeypatch.setattr(surf, "COMPACT_MIN_NS", 0)
+    bundle = outdoor_court()
+    accel = build_accel(bundle.scene, bundle.atlas)
+    W, H = 112, 64
+    config = RenderConfig(
+        width=W, height=H, spp=1, max_path_length=3, integrator="mcpg",
+        features=scene_features(bundle.scene, bundle.uniforms, bundle.atlas),
+    )
+    mcfg = MCPGConfig(
+        mc_adaptive_size=1 << 12, mc_static_size=1 << 10, lc_size=1 << 10
+    )
+    state = init_mcpg_state(mcfg)
+    gbuf = render_gbuffer(accel, bundle.atlas, bundle.uniforms, config)
+    base = surf.render_mcpg_surface(
+        accel, bundle.atlas, bundle.uniforms, config, mcfg, state, gbuf
+    )
+    live_frac = np.asarray(base.live_in) / (W * H)
+    assert live_frac[1] < 0.5  # bounce-1 deaths: compaction has room
+
+    # (1.0, 0.5): segment 1 runs the COMPACTED branch (live 0.19 < 0.5);
+    # (0.5, 0.14): both segments overflow → full-width cond fallback
+    for buds in [(1.0, 0.5), (0.5, 0.14)]:
+        mc2 = mcfg._replace(surf_live_budget=buds)
+        res = surf.render_mcpg_surface(
+            accel, bundle.atlas, bundle.uniforms, config, mc2, state, gbuf
+        )
+        ri, bi = np.asarray(res.irradiance), np.asarray(base.irradiance)
+        close = np.isclose(ri, bi, rtol=1e-5, atol=1e-4)
+        assert close.mean() > 0.99, (buds, 1 - close.mean())
+        assert abs(ri.mean() - bi.mean()) < 5e-3 * max(bi.mean(), 1e-6), buds
+        # chaotic boundary flips may kill/spare a handful of lanes
+        assert (
+            np.abs(
+                np.asarray(res.live_in) - np.asarray(base.live_in)
+            ).max()
+            <= 16
+        ), buds
