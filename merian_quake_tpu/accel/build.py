@@ -384,6 +384,274 @@ def build_accel(scene: Scene, atlas: TextureAtlas | None = None) -> AccelScene:
     )
 
 
+class LiveAccel(NamedTuple):
+    """Incrementally-updatable AccelScene for the live game path.
+
+    The reference rebuilds dynamic entity geometry every frame and
+    REFITS its BLAS/TLAS (quake_node.cpp:896-1012, DeviceASBuilder
+    update_geometry_f32_u32); the old live path here instead re-ran the
+    full host build (median split + Woop tables over the WHOLE soup)
+    per frame — seconds at AD scale. This struct freezes the static
+    accel once and appends a fixed-capacity DYNAMIC cluster suffix:
+    per frame only the suffix's Woop rows / cluster AABBs / shading
+    attrs are recomputed (numpy over ≤ a few thousand triangles) and
+    written into the device tables by one donated jit
+    (refresh_dynamic) — per-frame cost is O(dynamic), not O(map).
+    """
+
+    accel: AccelScene  # full tables: static prefix + dynamic suffix
+    n_static: int  # static triangle rows (cluster-aligned)
+    dyn_cap: int  # dynamic capacity (cluster-aligned)
+    tex_alpha: np.ndarray  # bool[MAX_TEX] texture-has-alpha
+    tex_px: np.ndarray  # f32[MAX_TEX] texel count (mip density)
+
+
+def _aabbs_np(v0, v1, v2, mask, chunk):
+    t = v0.shape[0]
+    c = t // chunk
+    pts = np.stack([v0, v1, v2], axis=1).reshape(c, chunk * 3, 3)
+    cm = mask.reshape(c, chunk).repeat(3, axis=1).reshape(c, chunk * 3)
+    big = np.float32(1e30)
+    lo = np.where(cm[..., None], pts, big).min(axis=1)
+    hi = np.where(cm[..., None], pts, -big).max(axis=1)
+    lo[~cm.any(axis=1)] = big
+    hi[~cm.any(axis=1)] = -big
+    return lo.astype(np.float32), hi.astype(np.float32)
+
+
+def build_accel_live(
+    bundle, dyn_cap: int = 4096
+) -> LiveAccel:
+    """One-time static build + dynamic-suffix allocation.
+
+    ``bundle``: SceneBundle of the STATIC map. ``dyn_cap`` must be the
+    GameState dynamic_capacity, rounded here to a cluster multiple.
+    """
+    import jax.numpy as jnp
+
+    scene, atlas = bundle.scene, bundle.atlas
+    dyn_cap = -(-dyn_cap // CLUSTER_SIZE) * CLUSTER_SIZE
+    acc = build_accel(scene, atlas)
+    t0 = acc.scene.num_tris
+    z3 = np.zeros((3 * dyn_cap, 8), np.float32)
+    ncd = dyn_cap // CLUSTER_SIZE
+    ncdf = dyn_cap // CLUSTER_FINE
+    big = np.float32(1e30)
+    empty = lambda n: (
+        np.full((n, 3), big, np.float32), np.full((n, 3), -big, np.float32)
+    )
+    elo, ehi = empty(ncd)
+    elof, ehif = empty(ncdf)
+    cat = lambda a, b: jnp.concatenate([jnp.asarray(a), jnp.asarray(b)])
+
+    # full-size alpha table in live mode (sprites/fences are dynamic)
+    w_alpha = (
+        acc.woop_w_alpha
+        if acc.woop_w_alpha is not None
+        else jnp.zeros_like(acc.woop_w)
+    )
+    lo_a = (
+        acc.cluster_lo_alpha
+        if acc.cluster_lo_alpha is not None
+        else jnp.full((acc.num_clusters, 3), big)
+    )
+    hi_a = (
+        acc.cluster_hi_alpha
+        if acc.cluster_hi_alpha is not None
+        else jnp.full((acc.num_clusters, 3), -big)
+    )
+
+    sc = acc.scene
+    dz = lambda field, fill=0: jnp.concatenate(
+        [
+            getattr(sc, field),
+            jnp.full(
+                (dyn_cap,) + getattr(sc, field).shape[1:], fill,
+                getattr(sc, field).dtype,
+            ),
+        ]
+    )
+    new_scene = sc._replace(
+        v0=dz("v0"), v1=dz("v1"), v2=dz("v2"),
+        pv0=dz("pv0"), pv1=dz("pv1"), pv2=dz("pv2"),
+        st=dz("st"), texnum=dz("texnum"), fb_texnum=dz("fb_texnum"),
+        gloss_texnum=dz("gloss_texnum"), normal_texnum=dz("normal_texnum"),
+        flags=dz("flags"), alpha=dz("alpha", -1.0),
+        solid_albedo=dz("solid_albedo"), solid_emission=dz("solid_emission"),
+        valid=dz("valid", False),
+    )
+
+    table = np.asarray(atlas.table)
+    tex_px = np.maximum(table[:, 2] * table[:, 3], 1).astype(np.float64)
+    acc2 = acc._replace(
+        scene=new_scene,
+        candidate=cat(acc.candidate, np.zeros(dyn_cap, bool)),
+        needs_alpha=cat(acc.needs_alpha, np.zeros(dyn_cap, bool)),
+        cluster_lo=cat(acc.cluster_lo, elo),
+        cluster_hi=cat(acc.cluster_hi, ehi),
+        woop_w=cat(acc.woop_w, z3),
+        woop_cand=jnp.concatenate(
+            [acc.woop_cand, jnp.zeros((1, dyn_cap))], axis=1
+        ),
+        tri_attr=cat(acc.tri_attr, np.zeros((dyn_cap, 40), np.float32)),
+        woop_w_fine=cat(acc.woop_w_fine, z3),
+        cluster_lo_fine=cat(acc.cluster_lo_fine, elof),
+        cluster_hi_fine=cat(acc.cluster_hi_fine, ehif),
+        woop_w_shadow=cat(acc.woop_w_shadow, z3),
+        woop_w_alpha=cat(w_alpha, z3),
+        cluster_lo_alpha=cat(lo_a, elo),
+        cluster_hi_alpha=cat(hi_a, ehi),
+    )
+    return LiveAccel(
+        accel=acc2,
+        n_static=t0,
+        dyn_cap=dyn_cap,
+        tex_alpha=texture_alpha_flags(atlas),
+        tex_px=tex_px,
+    )
+
+
+def _apply_dyn_jit(t0: int, cap: int):
+    import functools
+
+    import jax
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def apply(acc: AccelScene, u: dict) -> AccelScene:
+        import jax.numpy as jnp
+
+        r = lambda tab, rows, at: tab.at[at : at + rows.shape[0]].set(rows)
+        sc = acc.scene
+        sset = lambda field, rows: getattr(sc, field).at[
+            t0 : t0 + cap
+        ].set(rows)
+        new_scene = sc._replace(
+            v0=sset("v0", u["v0"]), v1=sset("v1", u["v1"]),
+            v2=sset("v2", u["v2"]),
+            pv0=sset("pv0", u["pv0"]), pv1=sset("pv1", u["pv1"]),
+            pv2=sset("pv2", u["pv2"]),
+            st=sset("st", u["st"]), texnum=sset("texnum", u["texnum"]),
+            fb_texnum=sset("fb_texnum", u["fb"]),
+            flags=sset("flags", u["flags"]),
+            solid_albedo=sset("solid_albedo", u["salb"]),
+            solid_emission=sset("solid_emission", u["semm"]),
+            valid=sset("valid", u["valid"]),
+        )
+        return acc._replace(
+            scene=new_scene,
+            candidate=r(acc.candidate, u["cand"], t0),
+            needs_alpha=r(acc.needs_alpha, u["needs_alpha"], t0),
+            cluster_lo=r(acc.cluster_lo, u["lo"], t0 // CLUSTER_SIZE),
+            cluster_hi=r(acc.cluster_hi, u["hi"], t0 // CLUSTER_SIZE),
+            woop_w=r(acc.woop_w, u["w"], 3 * t0),
+            woop_cand=acc.woop_cand.at[0, t0 : t0 + cap].set(
+                u["cand"].astype(jnp.float32)
+            ),
+            tri_attr=r(acc.tri_attr, u["attr"], t0),
+            woop_w_fine=r(acc.woop_w_fine, u["w_fine"], 3 * t0),
+            cluster_lo_fine=r(
+                acc.cluster_lo_fine, u["lo_f"], t0 // CLUSTER_FINE
+            ),
+            cluster_hi_fine=r(
+                acc.cluster_hi_fine, u["hi_f"], t0 // CLUSTER_FINE
+            ),
+            woop_w_shadow=r(acc.woop_w_shadow, u["w_shadow"], 3 * t0),
+            woop_w_alpha=r(acc.woop_w_alpha, u["w_alpha"], 3 * t0),
+            cluster_lo_alpha=r(
+                acc.cluster_lo_alpha, u["lo_a"], t0 // CLUSTER_SIZE
+            ),
+            cluster_hi_alpha=r(
+                acc.cluster_hi_alpha, u["hi_a"], t0 // CLUSTER_SIZE
+            ),
+        )
+
+    return apply
+
+
+_APPLY_DYN_CACHE: dict = {}
+
+
+def refresh_dynamic(la: LiveAccel, dyn: dict) -> LiveAccel:
+    """Per-frame dynamic-suffix refresh (≈ BLAS refit + re-upload).
+
+    ``dyn``: GameState.extract_dynamic()'s block. Host cost is numpy
+    over ``dyn_cap`` triangles; device cost is one donated jit that
+    row-writes the suffix of every table in place.
+    """
+    from .woop import bake_candidacy, build_woop
+
+    cap = la.dyn_cap
+    pad = cap - dyn["v"].shape[0]
+    pd = (
+        (lambda a: np.concatenate(
+            [a, np.zeros((pad,) + a.shape[1:], a.dtype)]
+        ))
+        if pad
+        else (lambda a: a)
+    )
+    v0, v1, v2 = pd(dyn["v"][:, 0]), pd(dyn["v"][:, 1]), pd(dyn["v"][:, 2])
+    pv0, pv1, pv2 = (
+        pd(dyn["prev"][:, 0]), pd(dyn["prev"][:, 1]), pd(dyn["prev"][:, 2])
+    )
+    valid = pd(dyn["valid"])
+    flags = pd(dyn["flags"])
+    tex = pd(dyn["tex"])
+    fb = pd(dyn["fb"])
+    uv = pd(dyn["uv"])
+    salb = pd(dyn["salb"])
+    semm = pd(dyn["semm"])
+
+    flag_opaque = (flags > 0) & (flags < 7)
+    needs_alpha = (
+        valid & ~flag_opaque & la.tex_alpha[np.clip(tex, 0, None)]
+    )
+    w, cand = build_woop(v0, v1, v2, valid, chunk=CLUSTER_SIZE)
+    w = bake_candidacy(w, cand)
+    w_fine, _ = build_woop(v0, v1, v2, valid, chunk=CLUSTER_FINE)
+    lo, hi = _aabbs_np(v0, v1, v2, cand, CLUSTER_SIZE)
+    lo_f, hi_f = _aabbs_np(v0, v1, v2, cand, CLUSTER_FINE)
+    sky = flags == materials.MAT_FLAGS_SKY
+    shadow_cand = cand & ~sky & ~needs_alpha
+    w_shadow = bake_candidacy(w, shadow_cand)
+    alpha_cand = cand & needs_alpha
+    w_alpha = bake_candidacy(w, alpha_cand)
+    lo_a, hi_a = _aabbs_np(v0, v1, v2, alpha_cand, CLUSTER_SIZE)
+
+    attr = np.zeros((cap, 40), np.float32)
+    attr[:, 0:3], attr[:, 3:6], attr[:, 6:9] = v0, v1, v2
+    attr[:, 9:12], attr[:, 12:15], attr[:, 15:18] = pv0, pv1, pv2
+    attr[:, 18:24] = uv.reshape(cap, 6)
+    attr[:, 24] = tex
+    attr[:, 25] = fb
+    attr[:, 27] = flags
+    attr[:, 28:31] = salb
+    attr[:, 31:34] = semm
+    sd0 = uv[:, 1] - uv[:, 0]
+    sd1 = uv[:, 2] - uv[:, 0]
+    uv_area = 0.5 * np.abs(sd0[:, 0] * sd1[:, 1] - sd0[:, 1] * sd1[:, 0])
+    e1 = v1 - v0
+    e2 = v2 - v0
+    w_area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    tpx = la.tex_px[np.clip(tex, 0, len(la.tex_px) - 1)]
+    attr[:, 35] = np.sqrt(
+        uv_area * tpx / np.maximum(w_area, 1e-9)
+    ).astype(np.float32)
+
+    upd = dict(
+        v0=v0, v1=v1, v2=v2, pv0=pv0, pv1=pv1, pv2=pv2,
+        st=uv, texnum=tex, fb=fb, flags=flags, salb=salb, semm=semm,
+        valid=valid, cand=cand, needs_alpha=needs_alpha,
+        lo=lo, hi=hi, lo_f=lo_f, hi_f=hi_f, lo_a=lo_a, hi_a=hi_a,
+        w=w, w_fine=w_fine, w_shadow=w_shadow, w_alpha=w_alpha,
+        attr=attr,
+    )
+    key = (la.n_static, cap)
+    fn = _APPLY_DYN_CACHE.get(key)
+    if fn is None:
+        fn = _APPLY_DYN_CACHE[key] = _apply_dyn_jit(*key)
+    return la._replace(accel=fn(la.accel, upd))
+
+
 def scene_features(scene: Scene, uniforms=None, atlas=None):
     """Derive static SceneFeatures from host scene data.
 

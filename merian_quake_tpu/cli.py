@@ -96,7 +96,9 @@ def _cmd_play(args) -> int:
     273-275) with PNG frames standing in for the swapchain."""
     import numpy as np
 
-    from .accel.build import build_accel
+    from .accel.build import (
+        build_accel_live, refresh_dynamic, scene_features,
+    )
     from .game.hud import apply_hud
     from .game.mod import make_arena
     from .models.types import RenderConfig
@@ -104,14 +106,39 @@ def _cmd_play(args) -> int:
     from .utils.image import save_png
 
     w, h = (int(v) for v in args.size.split("x"))
-    live = make_arena(dynamic_capacity=1024)
+
+    def boot():
+        if getattr(args, "map", "arena") == "bigmap":
+            from .game.bigmap import make_bigmap
+
+            lv, _d = make_bigmap(dynamic_capacity=4096)
+        else:
+            lv = make_arena(dynamic_capacity=1024)
+        # incremental accel (≈ the reference's per-frame BLAS refit):
+        # static tables built once, per-frame work is O(dynamic)
+        acc = build_accel_live(
+            lv.gs.static_bundle, dyn_cap=lv.gs.dynamic_capacity
+        )
+        return lv, acc
+
+    live, la = boot()
     if args.load:
         live.host.load(args.load)
         print(f"loaded savegame {args.load} (t={live.host.time:.2f}s)")
+    feats = scene_features(
+        live.gs.static_bundle.scene,
+        live.gs.static_bundle.uniforms,
+        live.gs.static_bundle.atlas,
+    )._replace(
+        # dynamic entities add alias skins (fullbright), sprites and
+        # particles the static-scene scan cannot see
+        has_alpha_tris=True, has_fb=True, has_emissive_tex=True,
+    )
     cfg = RenderConfig(
         width=w, height=h, spp=args.spp,
         max_path_length=args.max_path_length,
         integrator=args.integrator, denoise=args.denoise,
+        features=feats,
     )
     state = init_state(cfg)
     mixer = None
@@ -157,7 +184,7 @@ def _cmd_play(args) -> int:
                     state = init_state(cfg, mcfg)
         # scripted input: wander toward the room center, then orbit
         yaw = 20.0 + 1.2 * i
-        scene, uniforms = live.step(dt, forward=180.0, yaw=yaw)
+        dyn, uniforms = live.step_dynamic(dt=dt, forward=180.0, yaw=yaw)
         if live.host.changelevel_target:
             # the reference's don't-render path (clear.comp + the
             # gbuffer CLEAR variant, render_mcpg/clear.comp): while the
@@ -172,7 +199,7 @@ def _cmd_play(args) -> int:
                     args.out.replace(".png", f"_{i:04d}.png"),
                     np.zeros((h, w, 3), np.float32),
                 )
-            live = make_arena(dynamic_capacity=1024)
+            live, la = boot()
             state = init_state(cfg, mcfg)
             continue
         if mixer is not None:
@@ -184,9 +211,10 @@ def _cmd_play(args) -> int:
                 live.host.time, live.host.frame_sound_events(),
                 ps.origin + ps.view_ofs, right,
             )
-        accel = build_accel(scene, live.gs.static_bundle.atlas)
+        la = refresh_dynamic(la, dyn)
         state, out = render_frame(
-            accel, live.gs.static_bundle.atlas, uniforms, cfg, state, mcfg
+            la.accel, live.gs.static_bundle.atlas, uniforms, cfg, state,
+            mcfg,
         )
         for msg in live.messages:
             print(f"[game] {msg}")
@@ -362,6 +390,11 @@ def main(argv=None) -> int:
         "play", help="run the live-simulated arena mod and render it"
     )
     pl.add_argument("--size", default="320x180")
+    pl.add_argument(
+        "--map", default="arena", choices=["arena", "bigmap"],
+        help="arena (cornell-box mod) or bigmap (AD-scale dungeon, "
+             "~290k tris, wandering monsters)",
+    )
     pl.add_argument("--spp", type=int, default=1)
     pl.add_argument("--frames", type=int, default=60)
     pl.add_argument("--max-path-length", type=int, default=3)

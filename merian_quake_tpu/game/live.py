@@ -131,6 +131,7 @@ class LiveGame:
         self.host = host
         self.gs = GameState(bundle, dynamic_capacity=dynamic_capacity)
         self.gs.reproducible = reproducible
+        self._extract_dynamic_only = False
         self.particles = ClientParticles(reproducible=reproducible)
         self.templates: dict[str, _Template] = {}
         for name, mdl in (models or {}).items():
@@ -293,7 +294,19 @@ class LiveGame:
         self.gs.prev_time = prev_t
         self.gs.time = t
         self.gs.frame += 1
+        if self._extract_dynamic_only:
+            return self.gs.extract_dynamic()
         return self.gs.extract()
+
+    def step_dynamic(self, **kw):
+        """step(), but extract only the dynamic block (+ uniforms) for
+        the incremental accel path (accel/build.py refresh_dynamic) —
+        the static soup is built once, per-frame work is O(dynamic)."""
+        self._extract_dynamic_only = True
+        try:
+            return self.step(**kw)
+        finally:
+            self._extract_dynamic_only = False
 
     def hud_state(self) -> HudState:
         """HUD push constants from game globals (hud.cpp:49-75)."""

@@ -183,9 +183,54 @@ class GameState:
         self.frame += 1
         return self.extract()
 
+    def extract_dynamic(self) -> tuple[dict, "Uniforms"]:
+        """This frame's DYNAMIC block only (+ uniforms): the input of
+        the incremental accel refresh (accel/build.py
+        refresh_dynamic) — the static soup is never re-touched, like
+        the reference's per-frame BLAS refit path
+        (quake_node.cpp:896-1012)."""
+        return self._dyn_block(), self._uniforms()
+
     def extract(self) -> tuple[Scene, Uniforms]:
         """Build this frame's Scene + Uniforms (static shapes)."""
         static = self.static_bundle.scene
+        cap = self.dynamic_capacity
+        d = self._dyn_block()
+
+        # assemble: static soup + dynamic block, padded to cluster size
+        sv = np.asarray
+        n_static = static.num_tris
+        total = n_static + cap
+        total_pad = -(-total // CLUSTER_SIZE) * CLUSTER_SIZE
+        scene = build_scene_from_soup(
+            np.concatenate([sv(static.v0), d["v"][:, 0]]),
+            np.concatenate([sv(static.v1), d["v"][:, 1]]),
+            np.concatenate([sv(static.v2), d["v"][:, 2]]),
+            st=np.concatenate([sv(static.st), d["uv"]]),
+            texnum=np.concatenate([sv(static.texnum), d["tex"]]),
+            fb_texnum=np.concatenate([sv(static.fb_texnum), d["fb"]]),
+            flags=np.concatenate([sv(static.flags), d["flags"]]),
+            alpha=np.concatenate(
+                [sv(static.alpha), np.full((cap,), -1.0, np.float32)]
+            ),
+            solid_albedo=np.concatenate([sv(static.solid_albedo), d["salb"]]),
+            solid_emission=np.concatenate(
+                [sv(static.solid_emission), d["semm"]]
+            ),
+            pv0=np.concatenate([sv(static.pv0), d["prev"][:, 0]]),
+            pv1=np.concatenate([sv(static.pv1), d["prev"][:, 1]]),
+            pv2=np.concatenate([sv(static.pv2), d["prev"][:, 2]]),
+            pad_to=total_pad,
+        )
+        # mark unused dynamic slots invalid
+        import jax.numpy as jnp
+
+        valid = np.asarray(scene.valid).copy()
+        valid[n_static : n_static + cap] = d["valid"]
+        scene = scene._replace(valid=jnp.asarray(valid))
+        return scene, self._uniforms()
+
+    def _dyn_block(self) -> dict:
         cap = self.dynamic_capacity
 
         dyn_v = np.zeros((cap, 3, 3), np.float32)  # [tri, corner, xyz]
@@ -254,35 +299,13 @@ class GameState:
             dyn_valid[sl] = True
             cursor += n
 
-        # assemble: static soup + dynamic block, padded to cluster size
-        sv = np.asarray
-        n_static = static.num_tris
-        total = n_static + cap
-        total_pad = -(-total // CLUSTER_SIZE) * CLUSTER_SIZE
-        scene = build_scene_from_soup(
-            np.concatenate([sv(static.v0), dyn_v[:, 0]]),
-            np.concatenate([sv(static.v1), dyn_v[:, 1]]),
-            np.concatenate([sv(static.v2), dyn_v[:, 2]]),
-            st=np.concatenate([sv(static.st), dyn_uv]),
-            texnum=np.concatenate([sv(static.texnum), dyn_tex]),
-            fb_texnum=np.concatenate([sv(static.fb_texnum), dyn_fb]),
-            flags=np.concatenate([sv(static.flags), dyn_flags]),
-            alpha=np.concatenate(
-                [sv(static.alpha), np.full((cap,), -1.0, np.float32)]
-            ),
-            solid_albedo=np.concatenate([sv(static.solid_albedo), dyn_salb]),
-            solid_emission=np.concatenate([sv(static.solid_emission), dyn_semm]),
-            pv0=np.concatenate([sv(static.pv0), dyn_prev[:, 0]]),
-            pv1=np.concatenate([sv(static.pv1), dyn_prev[:, 1]]),
-            pv2=np.concatenate([sv(static.pv2), dyn_prev[:, 2]]),
-            pad_to=total_pad,
+        return dict(
+            v=dyn_v, prev=dyn_prev, uv=dyn_uv, tex=dyn_tex, fb=dyn_fb,
+            flags=dyn_flags, salb=dyn_salb, semm=dyn_semm, valid=dyn_valid,
         )
-        # mark unused dynamic slots invalid
-        import jax.numpy as jnp
 
-        valid = np.asarray(scene.valid).copy()
-        valid[n_static : n_static + cap] = dyn_valid
-        scene = scene._replace(valid=jnp.asarray(valid))
+    def _uniforms(self) -> Uniforms:
+        import jax.numpy as jnp
 
         # camera
         base_u = self.static_bundle.uniforms
@@ -309,7 +332,7 @@ class GameState:
             ),
             frame=jnp.uint32(self.frame),
         )
-        return scene, uniforms
+        return uniforms
 
 
 def orbit_camera(center, radius, height, period=8.0, look_at=None):

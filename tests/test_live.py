@@ -177,3 +177,56 @@ def test_client_particles_lifecycle():
     alive_mid = len(cp.pos)
     cp.step(now=2.0, dt=0.1)
     assert len(cp.pos) == 0 and alive_mid <= 16
+
+
+def test_live_accel_matches_full_build(arena):
+    """The incremental accel (build_accel_live + refresh_dynamic) must
+    trace identically to a from-scratch build_accel of the same frame's
+    full scene — hit positions equal (triangle orders differ), both on
+    the oracle path and the interpret-mode Woop kernel (round 5,
+    quake_node.cpp:985-1012 BLAS-refit equivalence)."""
+    import jax.numpy as jnp
+
+    from merian_quake_tpu.accel import build_accel, trace_nearest
+    from merian_quake_tpu.accel.build import (
+        build_accel_live, refresh_dynamic,
+    )
+    from merian_quake_tpu.accel.woop import intersect_woop
+
+    live = make_arena(dynamic_capacity=512)
+    la = build_accel_live(
+        live.gs.static_bundle, dyn_cap=live.gs.dynamic_capacity
+    )
+    for i in range(3):
+        dyn, uni = live.step_dynamic(dt=1 / 30, forward=60.0, yaw=10.0)
+    la = refresh_dynamic(la, dyn)
+    # full rebuild of the same frame (classic path)
+    live._extract_dynamic_only = False
+    scene, _ = live.gs.extract()
+    acc_full = build_accel(scene, live.gs.static_bundle.atlas)
+
+    rng = np.random.default_rng(7)
+    n = 256
+    o = np.full((n, 3), (256.0, 256.0, 120.0), np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o_j, d_j = jnp.asarray(o), jnp.asarray(d)
+    h_live = trace_nearest(la.accel, None, o_j, d_j, 0.0, 1e4)
+    h_full = trace_nearest(acc_full, None, o_j, d_j, 0.0, 1e4)
+    np.testing.assert_array_equal(
+        np.asarray(h_live.hit), np.asarray(h_full.hit)
+    )
+    np.testing.assert_allclose(
+        np.asarray(h_live.t)[np.asarray(h_full.hit)],
+        np.asarray(h_full.t)[np.asarray(h_full.hit)],
+        rtol=1e-5, atol=1e-3,
+    )
+    # Woop kernel path (the TPU traversal) on the live tables
+    hw = intersect_woop(
+        la.accel, o_j, d_j, 0.0, 1e4, ray_block=256, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(hw.t)[np.asarray(h_full.hit)],
+        np.asarray(h_full.t)[np.asarray(h_full.hit)],
+        rtol=1e-4, atol=1e-3,
+    )
