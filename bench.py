@@ -83,6 +83,21 @@ def _bench_phases(bundle, accel, config, mcfg, phases, timed=3):
     return out
 
 
+def _prev_live():
+    """Newest committed live_scale frame_ms (None before round 5)."""
+    best = None
+    for p in sorted(glob.glob("BENCH_r*.json")):
+        try:
+            data = json.load(open(p))
+        except Exception:
+            continue
+        parsed = data.get("parsed", data)
+        live = parsed.get("detail", {}).get("live_scale")
+        if isinstance(live, dict) and "frame_ms" in live:
+            best = float(live["frame_ms"])
+    return best
+
+
 def _prev_bench():
     """Newest committed BENCH_r*.json headline value, for the
     regression gate (VERDICT r3 weak #5)."""
@@ -149,6 +164,61 @@ def main():
         mega, accel_m, config_m, mcfg, {"warm6": 6}, timed=3
     )["warm6"]
 
+    # LIVE map-scale row (round 5, VERDICT r4 #5): the FULL per-frame
+    # loop — native game step (QuakeC monsters) + entity extraction +
+    # incremental accel refresh (BLAS-refit equivalent) + render — on
+    # the AD-scale dungeon (~290k tris, ~200 lights), the path real
+    # AD-class maps take (quake_node.cpp:896-1012 under entity load)
+    import time as _time
+
+    from merian_quake_tpu.accel.build import (
+        build_accel_live, refresh_dynamic,
+    )
+    from merian_quake_tpu.game.bigmap import make_bigmap
+    from merian_quake_tpu.renderer import init_state, render_frame
+
+    live, _d = make_bigmap()
+    la = build_accel_live(
+        live.gs.static_bundle, dyn_cap=live.gs.dynamic_capacity
+    )
+    feats_live = scene_features(
+        live.gs.static_bundle.scene, live.gs.static_bundle.uniforms,
+        live.gs.static_bundle.atlas,
+    )._replace(has_alpha_tris=True, has_fb=True, has_emissive_tex=True)
+    cfg_live = config._replace(features=feats_live)
+    state_live = init_state(cfg_live, mcfg)
+    n_live_tris = int(la.accel.scene.num_tris)
+    dt_step = dt_refresh = 0.0
+    for i in range(7):
+        t0 = _time.perf_counter()
+        dyn, uniforms_live = live.step_dynamic(
+            dt=1.0 / 30.0, forward=120.0, yaw=25.0 + 2.0 * i
+        )
+        t1 = _time.perf_counter()
+        la = refresh_dynamic(la, dyn)
+        t2 = _time.perf_counter()
+        state_live, out_live = render_frame(
+            la.accel, live.gs.static_bundle.atlas, uniforms_live,
+            cfg_live, state_live, mcfg,
+        )
+        _sync(out_live)
+        if i >= 4:  # steady frames only
+            dt_step += t1 - t0
+            dt_refresh += t2 - t1
+    t0 = _time.perf_counter()
+    timed_live = 3
+    for i in range(timed_live):
+        dyn, uniforms_live = live.step_dynamic(
+            dt=1.0 / 30.0, forward=120.0, yaw=40.0 + 2.0 * i
+        )
+        la = refresh_dynamic(la, dyn)
+        state_live, out_live = render_frame(
+            la.accel, live.gs.static_bundle.atlas, uniforms_live,
+            cfg_live, state_live, mcfg,
+        )
+    _sync(out_live)
+    dt_live = (_time.perf_counter() - t0) / timed_live
+
     # ray segments per frame: 1 primary + spp × (mpl - 1) bounce rays
     rays = width * height * (1 + spp * (mpl - 1))
     rays_prod = rays + width * height * prod.volume.volume_spp
@@ -160,6 +230,10 @@ def main():
     if prev is not None:
         vs_prev = round(mrays_per_s / prev[1], 4)
         regression = mrays_per_s < 0.9 * prev[1]
+    prev_live = _prev_live()
+    regression_live = (
+        prev_live is not None and dt_live * 1000 > 1.1 * prev_live
+    )
     print(
         json.dumps(
             {
@@ -187,7 +261,21 @@ def main():
                         "frame_ms": round(dt_mega * 1000, 2),
                         "mrays_per_s": round(rays / dt_mega / 1e6, 2),
                         "triangles": int(accel_m.scene.num_tris),
-                        "path": "hbm-streaming sweep",
+                        "path": "partitioned resident sweep",
+                    },
+                    "live_scale": {
+                        "frame_ms": round(dt_live * 1000, 2),
+                        "mrays_per_s": round(rays / dt_live / 1e6, 2),
+                        "triangles": n_live_tris,
+                        "game_step_ms": round(dt_step / 3 * 1000, 2),
+                        "accel_refresh_ms": round(
+                            dt_refresh / 3 * 1000, 2
+                        ),
+                        "regression": regression_live,
+                        "path": (
+                            "live dungeon: QuakeC step + extraction + "
+                            "dynamic accel refresh + render"
+                        ),
                     },
                     "production_scale": {
                         "frame_ms": round(dt_prod * 1000, 2),

@@ -2,9 +2,14 @@
 
 Each device renders image rows [idx·rows, (idx+1)·rows): ray generation,
 intersection, shading and accumulation are embarrassingly parallel over
-pixels; the only cross-device communication per frame is the exposure
-log-mean (``lax.pmean``). RNG streams use absolute pixel coordinates, so
-the sharded render is bit-identical to the single-device one.
+pixels; the per-frame cross-device communication is the exposure
+log-mean (``lax.pmean``), the guiding-update queue all_gather, and the
+denoise-halo exchanges (post/sharded.py). RNG streams use absolute
+pixel coordinates, so the sharded INTEGRATOR output (the pre-denoise
+``hdr`` chain) is bit-identical to the single-device one (tested);
+the denoise/reservoir paths are equivalence-tested to small tolerances
+instead (f32 reassociation across halo exchanges —
+tests/test_parallel.py, atol 2e-6..1e-3; see PARITY.md §2.6).
 """
 from __future__ import annotations
 

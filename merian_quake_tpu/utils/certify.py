@@ -61,14 +61,22 @@ def _unguided_config(cfg, integ_config):
 
 
 def _run(bundle, config, integ_config, frames, frame_offset=0,
-         snapshots=None):
+         snapshots=None, steady_skip=0):
     """Accumulated beauty INCLUDING the volume term (fog-aware truth:
     see module docstring — both sides estimate the same transport).
 
     ``snapshots``: optional sorted list of frame counts at which to
     also record the accumulated image (the reference's power-of-2
     ImageWrite trigger, default_config.json:536-567) — returns
-    (final, {count: image}) instead of just final."""
+    (final, {count: image}) instead of just final.
+
+    ``steady_skip``: restart ACCUMULATION (not the integrator state) at
+    this frame index — the steady-state window for temporal-reuse
+    integrators (VERDICT r4 #8): ReSTIR reservoirs / SSMM chains warm
+    up over the first frames, and a whole-run accumulation mixes the
+    cold transient into the measurement. With the skip, the reported
+    image averages frames [steady_skip, frames) only, with reservoirs/
+    chains already at steady state."""
     import jax.numpy as jnp
 
     from ..accel.build import build_accel
@@ -80,6 +88,13 @@ def _run(bundle, config, integ_config, frames, frame_offset=0,
     outputs = None
     snaps = {}
     for i in range(frames):
+        if steady_skip and i == steady_skip:
+            state = state._replace(
+                accum_irradiance=jnp.zeros_like(state.accum_irradiance),
+                accum_direct=jnp.zeros_like(state.accum_direct),
+                accum_albedo=jnp.zeros_like(state.accum_albedo),
+                iteration=jnp.zeros_like(state.iteration),
+            )
         uniforms = uniforms._replace(frame=jnp.uint32(frame_offset + i))
         state, outputs = render_frame(
             accel, bundle.atlas, uniforms, config, state, integ_config
@@ -100,16 +115,24 @@ def certify_presets(
     realtime_frames: int = 8,
     out_path: str | None = None,
     convergence_dir: str | None = None,
+    steady_skip: int = 16,
 ) -> dict:
     """Returns {preset: {relmse, relmse_pt_equal_budget, ratio, ...}}.
 
     ``realtime_frames``: candidate budget for the REAL-TIME reuse
-    estimators (ReSTIR/SSMM). Their temporal/spatial reuse trades a
-    bias floor for massive low-sample variance reduction — evaluating
-    them at a long-accumulation budget (64 frames) measures the bias
-    floor, not the regime they exist for (the reference runs them at
-    1-2 spp per frame, real time). Unbiased integrators (PT, MCPG)
-    certify at the full ``frames`` budget."""
+    estimators (ReSTIR/SSMM) when ``steady_skip`` is 0. Their
+    temporal/spatial reuse trades a bias floor for massive low-sample
+    variance reduction — evaluating them at a long-accumulation budget
+    measures the bias floor, not the regime they exist for.
+
+    ``steady_skip`` (round 5, VERDICT r4 #8): the preferred temporal
+    regime — reuse integrators run the FULL ``frames`` budget but the
+    accumulated measurement restarts at this frame (both for the
+    candidate and its equal-budget PT baseline), so reservoir M-clamp
+    bias, boiling filtering and SSMM chain maturity are measured at
+    steady state rather than mixed with the cold-start transient.
+    Unbiased integrators (PT, MCPG) certify at the full ``frames``
+    budget from frame 0 either way."""
     from ..accel.build import scene_features
     from ..presets import PRESETS
 
@@ -117,11 +140,13 @@ def certify_presets(
     results = {}
     for name in names:
         p = PRESETS[name]
+        is_reuse = p.config.integrator in ("restir", "ssmm")
         p_frames = (
-            realtime_frames
-            if p.config.integrator in ("restir", "ssmm")
-            else frames
+            frames
+            if (steady_skip or not is_reuse)
+            else realtime_frames
         )
+        p_skip = steady_skip if is_reuse else 0
         W = max(int(p.config.width * scale) // 8 * 8, 16)
         H = max(int(p.config.height * scale) // 8 * 8, 16)
         bundle = p.make_bundle()
@@ -148,14 +173,19 @@ def certify_presets(
             snap_at = [f for f in (1, 2, 4, 8, 16, 32, 64, 128, 256)
                        if f <= p_frames]
             test, snaps = _run(
-                bundle, cfg, p.integ_config, p_frames, snapshots=snap_at
+                bundle, cfg, p.integ_config, p_frames, snapshots=snap_at,
+                steady_skip=p_skip,
             )
         else:
-            test = _run(bundle, cfg, p.integ_config, p_frames)
+            test = _run(
+                bundle, cfg, p.integ_config, p_frames, steady_skip=p_skip
+            )
         pt_eq = (
             test
             if cfg.integrator == "pt"
-            else _run(bundle, ref_cfg, ref_integ, p_frames)
+            else _run(
+                bundle, ref_cfg, ref_integ, p_frames, steady_skip=p_skip
+            )
         )
         e_test = float(relmse(test, truth))
         e_pt = float(relmse(pt_eq, truth))
@@ -166,6 +196,7 @@ def certify_presets(
             "resolution": f"{W}x{H}",
             "spp": cfg.spp,
             "frames": p_frames,
+            "steady_skip": p_skip,
             "ref_frames": ref_frames,
             "ref_runs": ref_runs,
             "volume_included": ref_integ is not None,

@@ -3,6 +3,12 @@ import numpy as np
 
 from merian_quake_tpu.utils.certify import certify_presets
 
+import pytest
+
+# compile-heavy integration tier (VERDICT r4 weak #6): run with the full
+# suite / preflight; the core tier is pytest -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def test_certify_config1_small():
     """config1 (plain PT): tiny-scale certification must produce a

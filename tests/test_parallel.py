@@ -12,6 +12,12 @@ from merian_quake_tpu.parallel.render import (
 )
 from merian_quake_tpu.renderer import init_state, render_frame
 
+import pytest
+
+# compile-heavy integration tier (VERDICT r4 weak #6): run with the full
+# suite / preflight; the core tier is pytest -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def test_sharded_matches_single_device():
     assert len(jax.devices()) >= 8

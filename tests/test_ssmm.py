@@ -8,6 +8,12 @@ from merian_quake_tpu.render.ssmm import SSMMConfig, init_ssmm_state
 from merian_quake_tpu.render.ssmm.ssmm import _state_add, _state_new, _state_vmf
 from merian_quake_tpu.renderer import render_sequence
 
+import pytest
+
+# compile-heavy integration tier (VERDICT r4 weak #6): run with the full
+# suite / preflight; the core tier is pytest -m 'not slow'
+pytestmark = pytest.mark.slow
+
 CFG = SSMMConfig()
 
 

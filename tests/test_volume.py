@@ -8,6 +8,12 @@ from merian_quake_tpu.render.mcpg import MCPGConfig
 from merian_quake_tpu.render.mcpg.volume import VolumeConfig, _normal_dist
 from merian_quake_tpu.renderer import render_sequence
 
+import pytest
+
+# compile-heavy integration tier (VERDICT r4 weak #6): run with the full
+# suite / preflight; the core tier is pytest -m 'not slow'
+pytestmark = pytest.mark.slow
+
 
 def _run(mu_t, frames=3, seed=1337, spp=1):
     cfg = RenderConfig(width=40, height=24, spp=1, integrator="mcpg", seed=seed)
