@@ -165,6 +165,33 @@ def frame_core(
                 res.updates.data.shape[0], surf_groups, W, rows, y0, H
             )
         )
+        # live-lane compaction makes each segment's queue rows past its
+        # static budget DEAD padding (surface pads the compacted
+        # emissions back to ns rows) — slice them off here so the
+        # downstream class-sorts/gathers in compact_queues run on
+        # Σbudgets rows instead of segments·ns. In overflow frames the
+        # full-width fallback can emit beyond the budget; those rows
+        # drop like the reference's full per-cell queues
+        # (grid.h:23-35) — render output stays exact, guiding just
+        # learns from fewer samples that frame.
+        from .render.mcpg.surface import _seg_budgets
+
+        segs_n = max(config.max_path_length - 1, 0)
+        ns_q = W * rows * max(config.spp, 1)
+        buds = _seg_budgets(mcpg_config, segs_n, ns_q)
+        if any(b < ns_q for b in buds) and res.gidx is not None:
+            sl = lambda x: jnp.concatenate(
+                [
+                    x[s * ns_q : s * ns_q + b]
+                    for s, b in enumerate(buds)
+                ]
+            )
+            res = res._replace(
+                updates=jax.tree.map(sl, res.updates),
+                lc_samples=jax.tree.map(sl, res.lc_samples),
+                zeros=jax.tree.map(sl, res.zeros),
+            )
+            gidx = sl(gidx)
         if mcpg_config.volume is not None:
             from .render.mcpg.volume import (
                 apply_dist_updates, compact_dist, render_volume,

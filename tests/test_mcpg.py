@@ -367,3 +367,37 @@ def test_surface_live_compaction_exact(monkeypatch):
             ).max()
             <= 16
         ), buds
+
+
+def test_frame_core_budget_queue_slice(monkeypatch):
+    """frame_core with live-lane budgets: the statically-dead queue
+    padding is sliced off before the update replay (renderer.py), and
+    the frame still renders finite output with guiding state updated."""
+    import jax.numpy as jnp
+
+    import merian_quake_tpu.render.mcpg.surface as surf
+    from merian_quake_tpu.accel.build import build_accel, scene_features
+    from merian_quake_tpu.models.procedural import outdoor_court
+    from merian_quake_tpu.models.types import RenderConfig
+    from merian_quake_tpu.renderer import init_state, render_frame
+
+    monkeypatch.setattr(surf, "COMPACT_MIN_NS", 0)
+    bundle = outdoor_court()
+    accel = build_accel(bundle.scene, bundle.atlas)
+    config = RenderConfig(
+        width=64, height=40, spp=1, max_path_length=3, integrator="mcpg",
+        features=scene_features(bundle.scene, bundle.uniforms, bundle.atlas),
+    )
+    mcfg = MCPGConfig(
+        mc_adaptive_size=1 << 12, mc_static_size=1 << 10, lc_size=1 << 10,
+        surf_live_budget=(1.0, 0.5),
+    )
+    state = init_state(config, mcfg)
+    uniforms = bundle.uniforms._replace(frame=jnp.uint32(3))
+    state, out = render_frame(
+        accel, bundle.atlas, uniforms, config, state, mcfg
+    )
+    assert bool(jnp.isfinite(out["ldr"]).all())
+    assert bool(jnp.isfinite(state.mcpg.mc.f).all())
+    # guiding learned something (queue slice kept live rows)
+    assert float(state.mcpg.mc.sum_w.max()) > 0.0
