@@ -124,6 +124,11 @@ def main():
     from merian_quake_tpu.render.mcpg.config import production_config
 
     width, height, spp, mpl = 1920, 1080, 2, 3
+    smoke = bool(os.environ.get("MQ_BENCH_SMOKE"))
+    if smoke:
+        # script-logic smoke test (tiny shapes, every row exercised):
+        # validates the bench PATHS without the ~1080p compile bill
+        width, height = 192, 108
     bundle = city()
     accel = build_accel(bundle.scene, bundle.atlas)
     config = RenderConfig(
@@ -155,7 +160,7 @@ def main():
 
     # map-scale scene (~280k tris): forces the HBM-streaming sweep —
     # the path AD-class maps take (BASELINE configs 4-5); light config
-    mega = city(n_buildings=28000, seed=11)
+    mega = city(n_buildings=2500 if smoke else 28000, seed=11)
     accel_m = build_accel(mega.scene, mega.atlas)
     config_m = config._replace(
         features=scene_features(mega.scene, mega.uniforms, mega.atlas)
@@ -177,7 +182,7 @@ def main():
     from merian_quake_tpu.game.bigmap import make_bigmap
     from merian_quake_tpu.renderer import init_state, render_frame
 
-    live, _d = make_bigmap()
+    live, _d = make_bigmap(grid=3, monsters=4) if smoke else make_bigmap()
     la = build_accel_live(
         live.gs.static_bundle, dyn_cap=live.gs.dynamic_capacity
     )

@@ -230,3 +230,48 @@ def test_live_accel_matches_full_build(arena):
         np.asarray(h_full.t)[np.asarray(h_full.hit)],
         rtol=1e-4, atol=1e-3,
     )
+
+
+def test_bigmap_dungeon_live_loop():
+    """AD-scale dungeon (grid=3 variant): boots through the native
+    host, monsters wander, incremental accel refreshes per frame, and a
+    small frame renders finite (the live bench row's path end-to-end)."""
+    import jax.numpy as jnp
+    import pytest
+
+    pytest.importorskip("jax")
+    from merian_quake_tpu.accel.build import (
+        build_accel_live, refresh_dynamic, scene_features,
+    )
+    from merian_quake_tpu.game.bigmap import make_bigmap
+    from merian_quake_tpu.models.types import RenderConfig
+    from merian_quake_tpu.renderer import init_state, render_frame
+
+    live, d = make_bigmap(grid=3, monsters=4, dynamic_capacity=512)
+    assert d.bundle.scene.num_tris > 30000
+    la = build_accel_live(
+        live.gs.static_bundle, dyn_cap=live.gs.dynamic_capacity
+    )
+    feats = scene_features(
+        live.gs.static_bundle.scene, live.gs.static_bundle.uniforms,
+        live.gs.static_bundle.atlas,
+    )._replace(has_alpha_tris=True, has_fb=True, has_emissive_tex=True)
+    cfg = RenderConfig(
+        width=64, height=40, spp=1, max_path_length=2, integrator="pt",
+        features=feats,
+    )
+    state = init_state(cfg)
+    for i in range(3):
+        dyn, uniforms = live.step_dynamic(
+            dt=1 / 30, forward=100.0, yaw=15.0 + i
+        )
+        la = refresh_dynamic(la, dyn)
+    assert int(dyn["valid"].sum()) > 0  # monsters/flames present
+    state, out = render_frame(
+        la.accel, live.gs.static_bundle.atlas, uniforms, cfg, state, None
+    )
+    ldr = out["ldr"]
+    assert bool(jnp.isfinite(ldr).all())
+    assert float(ldr.max()) > 0.01  # torches/sky actually light the map
+    ps = live.host.player_state()
+    assert ps.health > 0
