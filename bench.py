@@ -144,6 +144,15 @@ def main():
     # cold (frame 2: chains empty, defensive/BSDF-heavy rays), the
     # r1-r3-continuity point (frame 12), steady state (frame 28)
     mcfg = MCPGConfig()
+    if os.environ.get("MQ_SURF_BUDGET"):
+        # live-lane compaction A/B knob (docs/perf_notes_r5.md): e.g.
+        # MQ_SURF_BUDGET=0.75,0.5 — compiles a larger program
+        mcfg = mcfg._replace(
+            surf_live_budget=tuple(
+                float(x)
+                for x in os.environ["MQ_SURF_BUDGET"].split(",")
+            )
+        )
     ph = _bench_phases(
         bundle, accel, config, mcfg,
         {"cold": 2, "warm12": 12, "steady": 28}, timed=4,
