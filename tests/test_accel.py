@@ -451,3 +451,74 @@ def test_woop_target_key_sorted_matches_oracle(rng):
     np.testing.assert_allclose(
         np.asarray(hw.t)[hit], np.asarray(ho.t)[hit], rtol=1e-4, atol=1e-3
     )
+
+def test_woop_node_hierarchy_matches_flat(rng):
+    """Round-5 interior-node resident sweep (_kernel_resident_nodes:
+    node-level visit list + per-cluster descent) must agree EXACTLY
+    with the flat resident sweep and the oracle — including partial
+    trailing nodes (nc not divisible by nodes_per), masked rays,
+    misses, the compacted-tile path inside a node, and the sorted
+    bounce path / any-hit wiring."""
+    from merian_quake_tpu.accel.woop import (
+        intersect_woop, intersect_woop_any,
+    )
+
+    t = 64 * 30  # 30 clusters: nodes_per=8 -> 4 nodes, partial last
+    c = rng.uniform(-40, 40, (t, 1, 3))
+    tri = c + rng.uniform(-6, 6, (t, 3, 3))
+    scene = build_scene_from_soup(
+        tri[:, 0].astype(np.float32),
+        tri[:, 1].astype(np.float32),
+        tri[:, 2].astype(np.float32),
+    )
+    acc = build_accel(scene)
+    n = 512
+    o = jnp.asarray(rng.uniform(-60, 60, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    t_max = jnp.asarray(
+        np.where(rng.random(n) < 0.2, -1.0, 1e4).astype(np.float32)
+    )
+    flat = intersect_woop(
+        acc, o, d, 0.0, t_max, ray_block=128, interpret=True,
+        resident=True, node_clusters=0,
+    )
+    ho = intersect(acc, o, d, 0.0, t_max)
+    np.testing.assert_array_equal(np.asarray(flat.tri), np.asarray(ho.tri))
+    for P, compact in ((8, 0), (16, 0), (8, 32)):
+        node = intersect_woop(
+            acc, o, d, 0.0, t_max, ray_block=128, interpret=True,
+            resident=True, node_clusters=P, compact=compact,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(node.tri), np.asarray(flat.tri)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(node.t), np.asarray(flat.t)
+        )
+    # sorted bounce path with the node kernel underneath
+    node_s = intersect_woop(
+        acc, o, d, 0.0, t_max, ray_block=128, interpret=True,
+        resident=True, node_clusters=8, sort_rays=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(node_s.tri), np.asarray(flat.tri)
+    )
+    # any-hit through the node kernel
+    occ_flat = intersect_woop_any(
+        acc, o, d, 1e-3, 1e4, ray_block=128, interpret=True, resident=True
+    )
+    os.environ["MQ_NODE_CLUSTERS"] = "8"
+    try:
+        occ_node = intersect_woop_any(
+            acc, o, d, 1e-3, 1e4, ray_block=128, interpret=True,
+            resident=True,
+        )
+    finally:
+        del os.environ["MQ_NODE_CLUSTERS"]
+    np.testing.assert_array_equal(
+        np.asarray(occ_node), np.asarray(occ_flat)
+    )
+    assert (np.asarray(flat.tri) >= 0).any()
+    assert (np.asarray(flat.tri) < 0).any()
