@@ -1587,11 +1587,14 @@ def intersect_woop(
         compact = int(os.environ.get("MQ_WOOP_COMPACT", "0"))
     if node_clusters is None:
         # interior node level over the clusters (round 5, VERDICT r4
-        # #1): one reach gate skips `node_clusters` member clusters.
-        # Chip-measured the win on map-scale parts (1024 clusters);
-        # small tables keep the flat sweep (the node level only
-        # engages when nc > node_clusters, see intersect_woop_packed).
-        node_clusters = int(os.environ.get("MQ_NODE_CLUSTERS", "16"))
+        # #1). CHIP-MEASURED A LOSS on sorted bounce populations at
+        # BOTH scales (headline 335 -> 511 ms, map-part 1677 -> 2091 ms,
+        # docs/perf_notes_r5.md): with target/octant-sorted blocks the
+        # reachable node set is dense, so the node gate is overhead and
+        # the in-node descent loses the flat sweep's per-cluster
+        # near-to-far order + horizon exit granularity. Default OFF;
+        # kept (exactness-tested) for sparse/incoherent workloads.
+        node_clusters = int(os.environ.get("MQ_NODE_CLUSTERS", "0"))
     if group is None:
         # grouped visits amortize the while-loop's fixed scalar cost
         # over G tiles, at G-coarse exit granularity — measured a wash
@@ -1848,7 +1851,7 @@ def intersect_woop_any(
             rays, w, accel.cluster_lo, accel.cluster_hi,
             dict(ray_block=ray_block, chunk=chunk, interpret=interpret,
                  node_clusters=int(
-                     os.environ.get("MQ_NODE_CLUSTERS", "16"))),
+                     os.environ.get("MQ_NODE_CLUSTERS", "0"))),
             init=init, anyhit=True,
         )
     else:
@@ -1856,6 +1859,6 @@ def intersect_woop_any(
             rays, w, accel.cluster_lo, accel.cluster_hi,
             ray_block=ray_block, chunk=chunk, interpret=interpret,
             resident=resident, anyhit=True, init=init,
-            node_clusters=int(os.environ.get("MQ_NODE_CLUSTERS", "16")),
+            node_clusters=int(os.environ.get("MQ_NODE_CLUSTERS", "0")),
         )
     return out[0, :n] == 0.0
