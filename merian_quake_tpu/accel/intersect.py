@@ -76,7 +76,14 @@ def intersect(
     if _use_pallas():
         from .woop import intersect_woop
 
-        return intersect_woop(accel, o, d, t_min, t_max, sort_rays=sort_rays)
+        # coherent/primary (unsorted) packets: rb=1024 measured best on
+        # chip (125.4 ms vs 132.9 at rb=4096, scripts/gbuffer_anatomy_r5)
+        # — tight frustums cull better at small blocks; sorted bounce
+        # paths keep their own rb=4096 default inside intersect_woop
+        return intersect_woop(
+            accel, o, d, t_min, t_max, sort_rays=sort_rays,
+            ray_block=4096 if sort_rays else 1024,
+        )
     n_rays = o.shape[0]
     if n_rays > ray_block:
         t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n_rays,))

@@ -1605,10 +1605,15 @@ def intersect_woop(
         fine is None
         and not sort_rays
         and getattr(accel, "woop_w_fine", None) is not None
+        and os.environ.get("MQ_FINE_PRIMARY")
     ):
-        # coherent (unsorted primary) packets cull much tighter on the
-        # fine table; sorted bounce packets lose there (visits multiply
-        # faster than pairs shrink) and stay coarse
+        # round-5 re-measure (scripts/gbuffer_anatomy_r5.py, chip):
+        # coherent primary packets on the COARSE table now beat the
+        # fine table (125.4 vs 149.8 ms at 1080p/17k tris) — the
+        # round-2 fine-table win predates the per-visit reach gates +
+        # SMEM metadata rework, which closed the culling gap while the
+        # fine table still pays 4x the visit fixed costs. Opt-in via
+        # MQ_FINE_PRIMARY (or fine=True) for re-measurement.
         fine = True
     if fine and getattr(accel, "woop_w_fine", None) is not None:
         accel = accel._replace(
