@@ -116,6 +116,9 @@ def frame_core(
     mcpg_config=None,
     gather_fn=lambda x, groups=1: x,
     shard_ctx=None,
+    _gbuf=None,
+    _surf=None,
+    _vol=None,
 ):
     """One frame over an image-row slab. ``mean_fn`` reduces a local
     scalar mean to the global mean (lax.pmean under shard_map);
@@ -127,7 +130,11 @@ def frame_core(
     halo-exchange variants; required when denoise runs under
     shard_map."""
     rows = config.height if rows is None else rows
-    gbuf = render_gbuffer(accel, atlas, uniforms, config, y0=y0, rows=rows)
+    gbuf = (
+        _gbuf
+        if _gbuf is not None
+        else render_gbuffer(accel, atlas, uniforms, config, y0=y0, rows=rows)
+    )
     new_mcpg = state.mcpg
     new_restir = state.restir
     new_ssmm = state.ssmm
@@ -139,16 +146,20 @@ def frame_core(
         from .render.mcpg.surface import SurfaceResult, render_mcpg_surface
         from .render.mcpg.updates import compact_queues, queue_gidx
 
-        res = render_mcpg_surface(
-            accel,
-            atlas,
-            uniforms,
-            config,
-            mcpg_config,
-            state.mcpg,
-            gbuf,
-            y0=y0,
-            rows=rows,
+        res = (
+            _surf
+            if _surf is not None
+            else render_mcpg_surface(
+                accel,
+                atlas,
+                uniforms,
+                config,
+                mcpg_config,
+                state.mcpg,
+                gbuf,
+                y0=y0,
+                rows=rows,
+            )
         )
         irr = res.irradiance
         # queues are COMPACTED per shard BEFORE the cross-shard gather
@@ -197,14 +208,18 @@ def frame_core(
                 apply_dist_updates, compact_dist, render_volume,
             )
 
-            vol_img, vol_mv, new_volume, vres = render_volume(
-                accel, atlas, uniforms, config, mcpg_config,
-                mcpg_config.volume, state.mcpg, state.volume, gbuf,
-                y0=y0, rows=rows,
-                gather_img_fn=(
-                    shard_ctx.gather_rows if shard_ctx is not None
-                    else (lambda x: x)
-                ),
+            vol_img, vol_mv, new_volume, vres = (
+                _vol
+                if _vol is not None
+                else render_volume(
+                    accel, atlas, uniforms, config, mcpg_config,
+                    mcpg_config.volume, state.mcpg, state.volume, gbuf,
+                    y0=y0, rows=rows,
+                    gather_img_fn=(
+                        shard_ctx.gather_rows if shard_ctx is not None
+                        else (lambda x: x)
+                    ),
+                )
             )
             vgroups = max(mcpg_config.volume.volume_spp, 1)
             cat = lambda a, b: jax.tree.map(
@@ -407,6 +422,79 @@ def render_frame(
     """One full frame on a single device. Returns (new_state, outputs)."""
     return frame_core(
         accel, atlas, uniforms, config, state, mcpg_config=mcpg_config
+    )
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _stage_gbuffer(accel, atlas, uniforms, config):
+    return render_gbuffer(accel, atlas, uniforms, config)
+
+
+@partial(jax.jit, static_argnames=("config", "mcpg_config"))
+def _stage_surface(accel, atlas, uniforms, config, mcpg_config, mc, gbuf):
+    from .render.mcpg.surface import render_mcpg_surface
+
+    return render_mcpg_surface(
+        accel, atlas, uniforms, config, mcpg_config, mc, gbuf
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "mcpg_config"))
+def _stage_volume(accel, atlas, uniforms, config, mcpg_config, mc, vol, gbuf):
+    from .render.mcpg.volume import render_volume
+
+    return render_volume(
+        accel, atlas, uniforms, config, mcpg_config, mcpg_config.volume,
+        mc, vol, gbuf,
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "mcpg_config"))
+def _stage_rest(accel, atlas, uniforms, config, state, mcpg_config, gbuf,
+                surf, vol):
+    return frame_core(
+        accel, atlas, uniforms, config, state, mcpg_config=mcpg_config,
+        _gbuf=gbuf, _surf=surf, _vol=vol,
+    )
+
+
+def render_frame_staged(
+    accel: AccelScene,
+    atlas: TextureAtlas,
+    uniforms: Uniforms,
+    config: RenderConfig,
+    state: FrameState,
+    mcpg_config=None,
+):
+    """One frame as FOUR separately-jitted stages (single device).
+
+    Mathematically identical to render_frame (same ops, the jit
+    boundaries only materialize stage outputs through HBM — a few ms of
+    bandwidth at 1080p; equivalence-tested). Exists because the remote
+    TPU compile service handles program size superlinearly: the
+    monolithic 1080p frame compiles in ~50+ min on degraded days while
+    its stages compile in ~26 s (gbuffer) + ~273 s (surface, the
+    monster) + small (measured, scripts/stage_compile_probe_r5.py) —
+    ~10x faster iteration for kernel A/Bs and first-frame latency.
+    Non-mcpg integrators and shard_map paths keep the monolithic
+    driver (their compiles are dominated by the integrator stage
+    anyway)."""
+    if config.integrator != "mcpg":
+        return render_frame(
+            accel, atlas, uniforms, config, state, mcpg_config
+        )
+    gbuf = _stage_gbuffer(accel, atlas, uniforms, config)
+    surf = _stage_surface(
+        accel, atlas, uniforms, config, mcpg_config, state.mcpg, gbuf
+    )
+    vol = None
+    if mcpg_config is not None and mcpg_config.volume is not None:
+        vol = _stage_volume(
+            accel, atlas, uniforms, config, mcpg_config, state.mcpg,
+            state.volume, gbuf,
+        )
+    return _stage_rest(
+        accel, atlas, uniforms, config, state, mcpg_config, gbuf, surf, vol
     )
 
 

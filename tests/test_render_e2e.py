@@ -91,3 +91,54 @@ def test_mv_zero_for_static_camera():
     state, out = _render("box", 48, 27, spp=1, frames=1)
     mv = np.asarray(out["gbuffer"].mv)
     assert np.abs(mv).max() < 1e-2
+
+
+def test_staged_frame_matches_monolithic():
+    """render_frame_staged (four separately-jitted stages; exists for
+    remote-compile latency, see renderer.py docstring) must be
+    BIT-IDENTICAL to the monolithic render_frame — same ops, the jit
+    boundaries only materialize stage outputs. Covers mcpg with AND
+    without the volume pass (the two staged shapes)."""
+    from merian_quake_tpu.accel.build import build_accel, scene_features
+    from merian_quake_tpu.render.mcpg import MCPGConfig
+    from merian_quake_tpu.render.mcpg.volume import VolumeConfig
+    from merian_quake_tpu.renderer import (
+        init_state, render_frame, render_frame_staged,
+    )
+
+    bundle = get_scene("box")
+    accel = build_accel(bundle.scene, bundle.atlas)
+    for vol in (None, VolumeConfig()):
+        mcfg = MCPGConfig(
+            mc_adaptive_size=1 << 10, mc_static_size=1 << 8,
+            lc_size=1 << 8, volume=vol,
+        )
+        config = RenderConfig(
+            width=64, height=32, spp=1, max_path_length=3,
+            integrator="mcpg",
+            features=scene_features(
+                bundle.scene, bundle.uniforms, bundle.atlas
+            ),
+        )
+        s_m = init_state(config, mcfg)
+        s_s = init_state(config, mcfg)
+        u = bundle.uniforms
+        for f in range(3):
+            u = u._replace(frame=jnp.uint32(f))
+            s_m, o_m = render_frame(
+                accel, bundle.atlas, u, config, s_m, mcfg
+            )
+            s_s, o_s = render_frame_staged(
+                accel, bundle.atlas, u, config, s_s, mcfg
+            )
+        np.testing.assert_array_equal(
+            np.asarray(o_m["ldr"]), np.asarray(o_s["ldr"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_m.mcpg.mc.sum_w), np.asarray(s_s.mcpg.mc.sum_w)
+        )
+        if vol is not None:
+            np.testing.assert_array_equal(
+                np.asarray(s_m.volume.dist_mc.sum_w),
+                np.asarray(s_s.volume.dist_mc.sum_w),
+            )
